@@ -1,0 +1,187 @@
+"""KZG structured reference string (ParamsKZG equivalent).
+
+Replaces the reference's external `halo2_proofs::poly::kzg::ParamsKZG`
+(SURVEY.md 2.2; consumed at reference: circuits/src/wasm.rs:49-55,79-80).
+Like the reference's `ParamsKZG::new`, this is an UNSAFE test SRS: tau is
+generated locally (here: deterministically from a seed, so runs are
+reproducible; the reference draws it from an internal RNG).
+
+TPU-first generation: powers of tau are built as a device prefix table, and
+the 2^k fixed-base scalar multiplications run as one batched double-and-add
+scan over the 256 precomputed doublings of the generator — no host loop over
+points.  g_lagrange is derived in closed form from the known tau:
+L_i(tau) = w^i (tau^n - 1) / (n (tau - w^i)), batch-inverted on device.
+
+Byte format (documented; interop target is halo2's uncompressed layout):
+  k: u32 LE | 2^k g points (64B uncompressed LE affine) | 2^k g_lagrange |
+  g2 (128B) | s_g2 (128B).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FR, mont
+from ..field.bn254 import FR_MOD
+from ..field.limbs import ints_to_limbs, ints_to_mont_limbs
+from ..ec import host as ec_host
+from ..ec import jax_g1 as g1
+from ..ec import msm as msm_mod
+from ..poly.domain import get_domain
+from ..poly.ntt import powers_table
+
+
+@functools.lru_cache(maxsize=1)
+def _gen_doubling_table():
+    """[256] host affine doublings 2^b * G of the G1 generator."""
+    pts = []
+    P = ec_host.G1
+    for _ in range(256):
+        pts.append(P)
+        P = ec_host.g1_double(P)
+    return pts
+
+
+@functools.lru_cache(maxsize=1)
+def _gen_table_device():
+    pts = _gen_doubling_table()
+    X, Y, _ = g1.points_to_device(pts)
+    return X, Y
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _fixed_base_mul_batch(table_x, table_y, scalars_raw):
+    """[n,16] raw scalars -> n Jacobian points scalar * G (scan over 256 bits)."""
+    n = scalars_raw.shape[0]
+    acc = g1.identity((n,))
+
+    def body(acc, inputs):
+        gx, gy, b = inputs
+        limb = b // 16
+        off = b % 16
+        bits = (jax.lax.dynamic_index_in_dim(scalars_raw, limb, axis=1, keepdims=False) >> off) & 1
+        P = (
+            jnp.broadcast_to(gx[None, :], (n, 16)),
+            jnp.broadcast_to(gy[None, :], (n, 16)),
+            jnp.broadcast_to(jnp.asarray(g1._ONE)[None, :], (n, 16)),
+        )
+        cand = g1.padd(acc, P)
+        acc = g1.select_point(bits != 0, cand, acc)
+        return acc, None
+
+    bs = jnp.arange(256, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, acc, (table_x, table_y, bs))
+    return acc
+
+
+@dataclass(eq=False)
+class ParamsKZG:
+    """SRS held on device: g / g_lagrange as [n, 16] Montgomery coordinate
+    arrays (affine), plus tiny host-side G2 elements."""
+
+    k: int
+    g_x: jnp.ndarray
+    g_y: jnp.ndarray
+    gl_x: jnp.ndarray
+    gl_y: jnp.ndarray
+    g2: tuple
+    s_g2: tuple
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    # ---- generation -----------------------------------------------------------
+
+    @staticmethod
+    def setup(k: int, seed: bytes | int = b"halo2_tpu-unsafe-srs") -> "ParamsKZG":
+        if isinstance(seed, int):
+            seed = seed.to_bytes(32, "little")
+        tau = int.from_bytes(
+            hashlib.blake2b(seed, digest_size=64, person=b"halo2tpu-srs-tau").digest(),
+            "little",
+        ) % FR_MOD
+        if tau in (0, 1):
+            tau += 2
+        return ParamsKZG.from_tau(k, tau)
+
+    @staticmethod
+    def from_tau(k: int, tau: int) -> "ParamsKZG":
+        n = 1 << k
+        dom = get_domain(k)
+        tx, ty = _gen_table_device()
+
+        # powers 1, tau, ..., tau^{n-1} (Montgomery, device) -> raw
+        pw = powers_table(tau, k)
+        pw_raw = mont.from_mont(FR, pw)
+        gj = _fixed_base_mul_batch(tx, ty, pw_raw)
+        gx, gy, _ = g1.to_affine_batch(gj)
+
+        # Lagrange basis at tau: L_i(tau) = w^i (tau^n - 1) / (n (tau - w^i))
+        wpow = powers_table(dom.omega, k)  # [n,16] Montgomery
+        c = dom.eval_vanishing(tau) * pow(n, -1, FR_MOD) % FR_MOD
+        tau_m = jnp.asarray(ints_to_mont_limbs([tau], FR_MOD))
+        c_m = jnp.asarray(ints_to_mont_limbs([c], FR_MOD))
+        denom = mont.sub(FR, jnp.broadcast_to(tau_m, wpow.shape), wpow)
+        li = mont.mul(FR, mont.mul(FR, wpow, mont.batch_inv(FR, denom)), c_m)
+        li_raw = mont.from_mont(FR, li)
+        glj = _fixed_base_mul_batch(tx, ty, li_raw)
+        glx, gly, _ = g1.to_affine_batch(glj)
+
+        g2 = ec_host.G2
+        s_g2 = ec_host.g2_mul(ec_host.G2, tau)
+        return ParamsKZG(k=k, g_x=gx, g_y=gy, gl_x=glx, gl_y=gly, g2=g2, s_g2=s_g2)
+
+    # ---- commitments ------------------------------------------------------------
+
+    def commit(self, coeffs_mont):
+        """Commit to a coefficient-basis poly ([m, 16] Montgomery, m <= n)."""
+        m = coeffs_mont.shape[0]
+        raw = mont.from_mont(FR, coeffs_mont)
+        return msm_mod.msm_device(self.g_x[:m], self.g_y[:m], raw)
+
+    def commit_lagrange(self, values_mont):
+        """Commit to an evaluation-basis poly over the size-n domain."""
+        assert values_mont.shape[0] == self.n
+        raw = mont.from_mont(FR, values_mont)
+        return msm_mod.msm_device(self.gl_x, self.gl_y, raw)
+
+    # ---- serialization ------------------------------------------------------------
+
+    def write(self) -> bytes:
+        from ..field.limbs import mont_limbs_to_ints
+
+        out = bytearray()
+        out += int(self.k).to_bytes(4, "little")
+        for X, Y in ((self.g_x, self.g_y), (self.gl_x, self.gl_y)):
+            xs = mont_limbs_to_ints(np.asarray(X), ec_host.Q)
+            ys = mont_limbs_to_ints(np.asarray(Y), ec_host.Q)
+            for x, y in zip(xs, ys):
+                out += ec_host.g1_to_uncompressed((x, y))
+        out += ec_host.g2_to_uncompressed(self.g2)
+        out += ec_host.g2_to_uncompressed(self.s_g2)
+        return bytes(out)
+
+    @staticmethod
+    def read(data: bytes) -> "ParamsKZG":
+        k = int.from_bytes(data[:4], "little")
+        n = 1 << k
+        pos = 4
+        groups = []
+        for _ in range(2):
+            pts = []
+            for _ in range(n):
+                pts.append(ec_host.g1_from_uncompressed(data[pos : pos + 64]))
+                pos += 64
+            groups.append(pts)
+        g2 = ec_host.g2_from_uncompressed(data[pos : pos + 128]); pos += 128
+        s_g2 = ec_host.g2_from_uncompressed(data[pos : pos + 128]); pos += 128
+        gx, gy, _ = g1.points_to_device(groups[0])
+        glx, gly, _ = g1.points_to_device(groups[1])
+        return ParamsKZG(k=k, g_x=gx, g_y=gy, gl_x=glx, gl_y=gly, g2=g2, s_g2=s_g2)

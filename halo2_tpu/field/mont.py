@@ -71,15 +71,30 @@ def _mul_wide(a, b):
     """Schoolbook product of two 16-limb values -> 32 lazy columns.
 
     Columns are bounded by 32 * 2^16 < 2^21, far below uint32 overflow.
+    The limb loop is a lax.scan (16 steps) to keep the trace tiny — each step
+    is still a fat vector op over the whole batch.
     """
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros(shape + (2 * N_LIMBS,), dtype=U32)
-    for i in range(N_LIMBS):
-        p = a[..., i : i + 1] * b  # exact: (2^16-1)^2 < 2^32
+    a = jnp.broadcast_to(a, shape + (N_LIMBS,))
+    b = jnp.broadcast_to(b, shape + (N_LIMBS,))
+    acc0 = jnp.zeros(shape + (2 * N_LIMBS,), dtype=U32)
+    zero1 = jnp.zeros(shape + (1,), dtype=U32)
+
+    def step(acc, i):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # [..., 1]
+        p = ai * b  # exact: (2^16-1)^2 < 2^32
         lo = p & MASK
         hi = p >> LIMB_BITS
-        acc = acc.at[..., i : i + N_LIMBS].add(lo)
-        acc = acc.at[..., i + 1 : i + N_LIMBS + 1].add(hi)
+        contrib = jnp.concatenate([lo, zero1], axis=-1) + jnp.concatenate(
+            [zero1, hi], axis=-1
+        )  # 17-wide window at offset i
+        window = jax.lax.dynamic_slice_in_dim(acc, i, N_LIMBS + 1, axis=-1)
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            acc, window + contrib, i, axis=-1
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(N_LIMBS))
     return acc
 
 
@@ -89,14 +104,21 @@ def _normalize(x, out_limbs=N_LIMBS):
     The final carry out of the top limb must be zero for in-range values; it
     is dropped (callers guarantee the value fits).
     """
-    outs = []
-    carry = jnp.zeros(x.shape[:-1], dtype=U32)
     n = x.shape[-1]
-    for i in range(out_limbs):
-        v = (x[..., i] if i < n else 0) + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    if n < out_limbs:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (out_limbs - n,), dtype=U32)], axis=-1
+        )
+    elif n > out_limbs:
+        x = x[..., :out_limbs]
+    xt = jnp.moveaxis(x, -1, 0)  # [L, ...] for scan over limbs
+
+    def step(carry, xi):
+        v = xi + carry
+        return v >> LIMB_BITS, v & MASK
+
+    _, outs = jax.lax.scan(step, jnp.zeros(xt.shape[1:], dtype=U32), xt)
+    return jnp.moveaxis(outs, 0, -1)
 
 
 def _big_sub(a, b):
@@ -104,13 +126,17 @@ def _big_sub(a, b):
 
     Returns (diff_limbs, borrow_out) where borrow_out is 1 iff a < b.
     """
-    outs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=U32)
-    for i in range(N_LIMBS):
-        d = a[..., i] + np.uint32(1 << LIMB_BITS) - b[..., i] - borrow
-        outs.append(d & MASK)
-        borrow = np.uint32(1) - (d >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    at = jnp.moveaxis(jnp.broadcast_to(a, shape + (N_LIMBS,)), -1, 0)
+    bt = jnp.moveaxis(jnp.broadcast_to(b, shape + (N_LIMBS,)), -1, 0)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        d = ai + np.uint32(1 << LIMB_BITS) - bi - borrow
+        return np.uint32(1) - (d >> LIMB_BITS), d & MASK
+
+    borrow, outs = jax.lax.scan(step, jnp.zeros(shape, dtype=U32), (at, bt))
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _cond_sub_p(spec: FieldSpec, x):
@@ -134,19 +160,25 @@ def _mont_reduce(spec: FieldSpec, t):
         t = jnp.concatenate(
             [t, jnp.zeros(t.shape[:-1] + (pad,), dtype=U32)], axis=-1
         )
-    for i in range(N_LIMBS):
-        carry = t[..., i] >> LIMB_BITS
-        ti = t[..., i] & MASK
-        t = t.at[..., i + 1].add(carry)
+
+    def step(t, i):
+        ti_full = jax.lax.dynamic_slice_in_dim(t, i, 1, axis=-1)[..., 0]
+        carry = ti_full >> LIMB_BITS
+        ti = ti_full & MASK
         m = (ti * n0inv) & MASK
         mp = m[..., None] * p  # [..., 16], exact in uint32
         lo = mp & MASK
         hi = mp >> LIMB_BITS
         # column i becomes ti + lo[0] which is ≡ 0 mod 2^16; push its carry.
         carry2 = (ti + lo[..., 0]) >> LIMB_BITS
-        t = t.at[..., i + 1 : i + N_LIMBS].add(lo[..., 1:])
-        t = t.at[..., i + 1 : i + N_LIMBS + 1].add(hi)
-        t = t.at[..., i + 1].add(carry2)
+        add16 = hi  # 16-wide contribution at offset i+1
+        add16 = add16.at[..., :15].add(lo[..., 1:])
+        add16 = add16.at[..., 0].add(carry + carry2)
+        window = jax.lax.dynamic_slice_in_dim(t, i + 1, N_LIMBS, axis=-1)
+        t = jax.lax.dynamic_update_slice_in_dim(t, window + add16, i + 1, axis=-1)
+        return t, None
+
+    t, _ = jax.lax.scan(step, t, jnp.arange(N_LIMBS))
     hi_half = t[..., N_LIMBS:]
     return _cond_sub_p(spec, _normalize(hi_half))
 
@@ -182,17 +214,23 @@ def sub(spec: FieldSpec, a, b):
 
 def _big_sub_lazy(a, b):
     """Like _big_sub but `a` may have limbs up to 2^17 (one lazy add)."""
-    outs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=U32)
-    carry = jnp.zeros_like(borrow)
-    for i in range(N_LIMBS):
-        ai = a[..., i] + carry
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    at = jnp.moveaxis(jnp.broadcast_to(a, shape + (N_LIMBS,)), -1, 0)
+    bt = jnp.moveaxis(jnp.broadcast_to(b, shape + (N_LIMBS,)), -1, 0)
+
+    def step(state, ab):
+        carry, borrow = state
+        ai, bi = ab
+        ai = ai + carry
         carry = ai >> LIMB_BITS
         ai = ai & MASK
-        d = ai + np.uint32(1 << LIMB_BITS) - b[..., i] - borrow
-        outs.append(d & MASK)
+        d = ai + np.uint32(1 << LIMB_BITS) - bi - borrow
         borrow = np.uint32(1) - (d >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+        return (carry, borrow), d & MASK
+
+    zero = jnp.zeros(shape, dtype=U32)
+    (_, borrow), outs = jax.lax.scan(step, (zero, zero), (at, bt))
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -1,0 +1,173 @@
+"""Vanishing-argument quotient construction over the extended coset domain.
+
+Equivalent of the reference's external halo2 `evaluation.rs` + vanishing
+argument (SURVEY.md 3.2 phase 5): every gate polynomial and permutation
+constraint is evaluated pointwise over the 2^{k+j} coset, folded with powers
+of y (value = value*y + expr), and divided by Z_H — all as one fused batched
+XLA program; rotations are rolls by rotation * (ext_n / n).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FR, mont
+from ..field.bn254 import FR_MOD, FR_ZETA
+from ..field.limbs import ints_to_mont_limbs
+from ..frontend.expression import evaluate
+from ..poly.ntt import powers_table
+from ..poly.ops import scalar_mont
+
+
+def _roll_rot(arr, rotation: int, rot_scale: int):
+    if rotation == 0:
+        return arr
+    return jnp.roll(arr, -rotation * rot_scale, axis=0)
+
+
+def eval_expr_ext(expr, fixed_ext, advice_ext, instance_ext, rot_scale: int, ext_n: int):
+    """Evaluate one gate expression over the extended domain (device)."""
+
+    def const(v):
+        return jnp.broadcast_to(scalar_mont(v), (1, 16))
+
+    return evaluate(
+        expr,
+        constant=const,
+        fixed=lambda q: _roll_rot(fixed_ext[q.column_index], q.rotation, rot_scale),
+        advice=lambda q: _roll_rot(advice_ext[q.column_index], q.rotation, rot_scale),
+        instance=lambda q: _roll_rot(instance_ext[q.column_index], q.rotation, rot_scale),
+        selector=lambda q: (_ for _ in ()).throw(AssertionError("unfinalized selector")),
+        add=lambda a, b: mont.add(FR, a, b),
+        mul=lambda a, b: mont.mul(FR, a, b),
+        neg=lambda a: mont.neg(FR, a),
+        scale=lambda a, s: mont.mul(FR, a, jnp.broadcast_to(scalar_mont(s), (1, 16))),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _zh_inv_ext(k: int, extended_k: int):
+    """1 / Z_H over the extended coset; Z_H(zeta w_ext^i) = zeta^n w_ext^{in} - 1
+    cycles with period 2^(extended_k - k)."""
+    from ..poly.domain import get_domain
+
+    n = 1 << k
+    j = extended_k - k
+    dom = get_domain(k, 1 << j)
+    cycle = []
+    zeta_n = pow(FR_ZETA, n, FR_MOD)
+    w_n = pow(dom.extended_omega, n, FR_MOD)
+    cur = zeta_n
+    for _ in range(1 << j):
+        cycle.append((cur - 1) % FR_MOD)
+        cur = cur * w_n % FR_MOD
+    inv = [pow(v, -1, FR_MOD) for v in cycle]
+    tiled = inv * (n)
+    return jnp.asarray(ints_to_mont_limbs(tiled[: 1 << extended_k], FR_MOD))
+
+
+@functools.lru_cache(maxsize=32)
+def coset_identity_ext(extended_k: int):
+    """Extended values of the identity polynomial X: zeta * w_ext^i."""
+    from ..poly.domain import get_domain
+
+    # build as powers table times zeta
+    dom_ext_omega = get_domain(extended_k).omega  # omega of the extended size
+    pw = powers_table(dom_ext_omega, extended_k)
+    zeta_m = scalar_mont(FR_ZETA)
+    return mont.mul(FR, pw, zeta_m[None, :])
+
+
+def quotient_ext(
+    pk,
+    advice_ext,
+    instance_ext,
+    z_exts,
+    perm_value_exts,
+    y: int,
+    beta: int,
+    gamma: int,
+):
+    """h over the extended coset (device array [ext_n, 16]).
+
+    perm_value_exts: [P, ext_n, 16] extended values of the permutation
+    columns in order; z_exts: list of per-chunk z extended arrays.
+    """
+    cs = pk.vk.cs
+    dom = pk.vk.domain
+    ext_n = dom.extended_n
+    rot_scale = 1 << (dom.extended_k - dom.k)
+    bf = cs.blinding_factors()
+    y_m = scalar_mont(y)
+    beta_m = scalar_mont(beta)
+    gamma_m = scalar_mont(gamma)
+    one = jnp.broadcast_to(scalar_mont(1), (1, 16))
+
+    value = jnp.zeros((ext_n, 16), dtype=jnp.uint32)
+
+    def fold(value, expr_val):
+        return mont.add(FR, mont.mul(FR, value, y_m[None, :]), expr_val)
+
+    # ---- custom gates ---------------------------------------------------------
+    for gate in cs.gates:
+        for poly in gate.polys:
+            ev = eval_expr_ext(poly, pk.fixed_ext, advice_ext, instance_ext,
+                               rot_scale, ext_n)
+            ev = jnp.broadcast_to(ev, (ext_n, 16))
+            value = fold(value, ev)
+
+    # ---- permutation constraints ------------------------------------------------
+    if z_exts:
+        chunk_len = cs.permutation_chunk_len()
+        l0 = pk.l0_ext
+        l_last = pk.l_last_ext
+        l_active = pk.l_active_ext
+        # l_0 * (1 - z_0)
+        value = fold(value, mont.mul(FR, l0, mont.sub(FR, one, z_exts[0])))
+        # l_last * (z_l^2 - z_l)
+        zl = z_exts[-1]
+        value = fold(value, mont.mul(FR, l_last, mont.sub(FR, mont.square(FR, zl), zl)))
+        # continuity: l_0 * (z_i - z_{i-1}(w^u X))
+        for i in range(1, len(z_exts)):
+            prev_at_last = _roll_rot(z_exts[i - 1], -(bf + 1), rot_scale)
+            value = fold(value, mont.mul(FR, l0, mont.sub(FR, z_exts[i], prev_at_last)))
+        # main product constraint per chunk
+        ident_x = coset_identity_ext(dom.extended_k)
+        for ci, z in enumerate(z_exts):
+            s = ci * chunk_len
+            e = min(s + chunk_len, perm_value_exts.shape[0])
+            left = _roll_rot(z, 1, rot_scale)  # z(wX)
+            right = z
+            for j in range(s, e):
+                v = perm_value_exts[j]
+                sig = pk.sigma_ext[j]
+                left = mont.mul(
+                    FR,
+                    left,
+                    mont.add(FR, mont.add(FR, v, mont.mul(FR, sig, beta_m[None, :])),
+                             gamma_m[None, :]),
+                )
+                delta_j = scalar_mont(
+                    pow_delta(j)
+                )
+                id_term = mont.mul(
+                    FR, mont.mul(FR, ident_x, beta_m[None, :]), delta_j[None, :]
+                )
+                right = mont.mul(
+                    FR, right, mont.add(FR, mont.add(FR, v, id_term), gamma_m[None, :])
+                )
+            value = fold(value, mont.mul(FR, l_active, mont.sub(FR, left, right)))
+
+    # ---- divide by the vanishing polynomial ----------------------------------------
+    zh_inv = _zh_inv_ext(dom.k, dom.extended_k)
+    return mont.mul(FR, value, zh_inv)
+
+
+def pow_delta(j: int) -> int:
+    from ..field.bn254 import FR_DELTA
+
+    return pow(FR_DELTA, j, FR_MOD)

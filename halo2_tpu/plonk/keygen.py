@@ -1,0 +1,162 @@
+"""Keygen: verifying key + proving key.
+
+Equivalent of the reference's external `keygen_vk`/`keygen_pk`
+(SURVEY.md 3.2: "keygen EVERY prove call", utils.rs:63-70): runs
+configure + a witness-free synthesis, commits the fixed columns (selectors
+included as dedicated fixed columns — see constraint_system.py divergence
+note), builds the permutation sigma polynomials, and precomputes the
+extended-coset tables the prover needs (fixed/sigma cosets, l_0 / l_last /
+l_active_row).
+
+vk.transcript_repr: Blake2b("Halo2-Verify-Key") over a canonical pinned
+description (our structured repr stands in for Rust's Debug formatting of
+PinnedVerificationKey — byte parity with Rust is not claimed for this field).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..commit.srs import ParamsKZG
+from ..ec import host as ec_host
+from ..ec import jax_g1 as g1
+from ..field.bn254 import FR_MOD, fr_from_u512
+from ..field.limbs import ints_to_mont_limbs
+from ..frontend import ConstraintSystem, synthesize
+from ..poly.domain import Domain, get_domain
+from ..poly.ntt import powers_table
+from .permutation import PermutationAssembly
+
+
+@dataclass(eq=False)
+class VerifyingKey:
+    k: int
+    cs: ConstraintSystem
+    domain: Domain
+    fixed_commitments: list
+    permutation_commitments: list
+    transcript_repr: int
+    usable_row: int  # u = n - (blinding_factors + 1)
+
+
+@dataclass(eq=False)
+class ProvingKey:
+    vk: VerifyingKey
+    fixed_lagrange: jnp.ndarray  # [F, n, 16]
+    fixed_coeff: jnp.ndarray
+    fixed_ext: jnp.ndarray  # [F, ext_n, 16]
+    sigma_lagrange: jnp.ndarray  # [P, n, 16]
+    sigma_coeff: jnp.ndarray
+    sigma_ext: jnp.ndarray
+    l0_ext: jnp.ndarray  # [ext_n, 16]
+    l_last_ext: jnp.ndarray
+    l_active_ext: jnp.ndarray
+
+
+def _lagrange_delta(n: int, row: int) -> list:
+    v = [0] * n
+    v[row] = 1
+    return v
+
+
+def _commit_columns(params: ParamsKZG, values_dev) -> list:
+    """Commit each row of a [m, n, 16] Lagrange array; returns host points."""
+    return [
+        g1.point_to_host(params.commit_lagrange(values_dev[i]))
+        for i in range(values_dev.shape[0])
+    ]
+
+
+def _hash_vk(k: int, cs: ConstraintSystem, fixed_commitments, perm_commitments) -> int:
+    h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
+    payload = f"halo2_tpu-vk-v1;k={k};" + cs.pinned()
+    h.update(len(payload).to_bytes(8, "little"))
+    h.update(payload.encode())
+    for pt in list(fixed_commitments) + list(perm_commitments):
+        h.update(ec_host.g1_to_bytes(pt))
+    return fr_from_u512(h.digest())
+
+
+def keygen(params: ParamsKZG, circuit) -> ProvingKey:
+    """circuit: a witness-free circuit instance (like the reference's
+    empty_circuit); params fixes k."""
+    k = params.k
+    n = 1 << k
+    cs = ConstraintSystem()
+    config = type(circuit).configure(cs)
+    cs.finalize()
+    degree = cs.degree()
+    dom = get_domain(k, degree - 1)
+
+    asg = synthesize(circuit, cs, config, k, instances=None)
+    bf = cs.blinding_factors()
+    u = n - (bf + 1)
+    if asg.max_row_touched >= u:
+        raise ValueError(
+            f"circuit needs {asg.max_row_touched + 1} rows but only {u + 1} are "
+            f"usable at k={k} (blinding takes {bf + 1})"
+        )
+
+    # ---- fixed columns (selectors already merged) ------------------------------
+    fixed_lagrange = jnp.asarray(
+        np.stack([ints_to_mont_limbs(col, FR_MOD) for col in asg.fixed])
+        if asg.fixed
+        else np.zeros((0, n, 16), np.uint32)
+    )
+    fixed_coeff = dom.lagrange_to_coeff(fixed_lagrange)
+    fixed_ext = dom.coeff_to_extended(fixed_coeff)
+
+    # ---- permutation sigmas -------------------------------------------------------
+    perm_cols = cs.permutation_columns
+    pos = {c: i for i, c in enumerate(perm_cols)}
+    assembly = PermutationAssembly(len(perm_cols), n)
+    for (ca, ra), (cb, rb) in asg.copies:
+        assembly.add_copy(pos[ca], ra, pos[cb], rb)
+    sig_vals = assembly.sigma_values()
+    sigma_lagrange = jnp.asarray(
+        np.stack([ints_to_mont_limbs(col, FR_MOD) for col in sig_vals])
+        if sig_vals
+        else np.zeros((0, n, 16), np.uint32)
+    )
+    sigma_coeff = dom.lagrange_to_coeff(sigma_lagrange)
+    sigma_ext = dom.coeff_to_extended(sigma_coeff)
+
+    # ---- lagrange selector polys for the permutation argument ---------------------
+    l0 = jnp.asarray(ints_to_mont_limbs(_lagrange_delta(n, 0), FR_MOD))
+    l_last = jnp.asarray(ints_to_mont_limbs(_lagrange_delta(n, u), FR_MOD))
+    l_blind_vals = [1 if u < i else 0 for i in range(n)]  # rows u+1..n-1
+    l_active_vals = [1 if i < u else 0 for i in range(n)]  # 1 - (l_last + l_blind)
+    l_blind = jnp.asarray(ints_to_mont_limbs(l_blind_vals, FR_MOD))
+    l_active = jnp.asarray(ints_to_mont_limbs(l_active_vals, FR_MOD))
+    l0_ext = dom.coeff_to_extended(dom.lagrange_to_coeff(l0))
+    l_last_ext = dom.coeff_to_extended(dom.lagrange_to_coeff(l_last))
+    l_active_ext = dom.coeff_to_extended(dom.lagrange_to_coeff(l_active))
+
+    # ---- commitments + vk ------------------------------------------------------------
+    fixed_commitments = _commit_columns(params, fixed_lagrange)
+    perm_commitments = _commit_columns(params, sigma_lagrange)
+    vk = VerifyingKey(
+        k=k,
+        cs=cs,
+        domain=dom,
+        fixed_commitments=fixed_commitments,
+        permutation_commitments=perm_commitments,
+        transcript_repr=_hash_vk(k, cs, fixed_commitments, perm_commitments),
+        usable_row=u,
+    )
+    return ProvingKey(
+        vk=vk,
+        fixed_lagrange=fixed_lagrange,
+        fixed_coeff=fixed_coeff,
+        fixed_ext=fixed_ext,
+        sigma_lagrange=sigma_lagrange,
+        sigma_coeff=sigma_coeff,
+        sigma_ext=sigma_ext,
+        l0_ext=l0_ext,
+        l_last_ext=l_last_ext,
+        l_active_ext=l_active_ext,
+    )

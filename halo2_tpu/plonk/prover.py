@@ -1,0 +1,284 @@
+"""The PLONKish prover pipeline.
+
+Equivalent of the reference's external `create_proof` (SURVEY.md 3.2 — the
+phase order there is the specification).  Host orchestrates the transcript;
+every bulk step (column NTTs, commitments/MSMs, grand products, the fused
+quotient evaluation) runs on device.
+
+Phases (no lookups in the reference circuits — lookup phases are empty):
+  1. absorb vk digest + instance values (KZG hashes instances, no commit);
+  2. synthesize witness, blind the last bf+1 rows, commit advice columns;
+  3. theta (lookups: none);
+  4. beta, gamma; permutation grand-product commitments;
+  5. vanishing random-poly commitment; y; fused quotient; h piece commitments;
+  6. x; evaluations (advice, fixed, random, sigmas, z chains);
+  7. multiopen (GWC or SHPLONK).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..commit import gwc, shplonk
+from ..commit.srs import ParamsKZG
+from ..ec import jax_g1 as g1
+from ..field import FR, mont
+from ..field.bn254 import FR_MOD
+from ..field.limbs import ints_to_mont_limbs, mont_limbs_to_int
+from ..frontend import synthesize
+from ..poly.ops import eval_polys_at, scalar_mont
+from ..transcript import Blake2bWrite
+from .evaluation import quotient_ext
+from .keygen import ProvingKey
+from .permutation import z_polys
+
+
+class DeterministicRng:
+    """Blake2b-stream RNG so proofs are reproducible under a fixed seed
+    (the reference uses OsRng — SURVEY.md 7.3 hard part #1)."""
+
+    def __init__(self, seed: bytes | None):
+        self._seed = seed if seed is not None else os.urandom(32)
+        self._ctr = 0
+
+    def field_elements(self, count: int) -> list[int]:
+        out = []
+        for _ in range(count):
+            h = hashlib.blake2b(
+                self._seed + self._ctr.to_bytes(8, "little"), digest_size=64
+            ).digest()
+            self._ctr += 1
+            out.append(int.from_bytes(h, "little") % FR_MOD)
+        return out
+
+
+def _to_device_columns(cols, n):
+    if not cols:
+        return jnp.zeros((0, n, 16), dtype=jnp.uint32)
+    return jnp.asarray(np.stack([ints_to_mont_limbs(c, FR_MOD) for c in cols]))
+
+
+def create_proof(
+    params: ParamsKZG,
+    pk: ProvingKey,
+    circuit,
+    instances: list[list[int]],
+    scheme: str = "gwc",
+    rng_seed: bytes | None = None,
+) -> bytes:
+    cs = pk.vk.cs
+    dom = pk.vk.domain
+    k, n = pk.vk.k, 1 << pk.vk.k
+    bf = cs.blinding_factors()
+    u = pk.vk.usable_row
+    rng = DeterministicRng(rng_seed)
+
+    transcript = Blake2bWrite()
+    transcript.common_scalar(pk.vk.transcript_repr)
+
+    # ---- instances (KZG: hashed, not committed) ---------------------------------
+    instances = [
+        [v % FR_MOD for v in col] for col in instances
+    ]
+    if len(instances) != cs.num_instance:
+        raise ValueError("instance column count mismatch")
+    for col in instances:
+        if len(col) > u:
+            raise ValueError("instance too large")
+        for v in col:
+            transcript.common_scalar(v)
+    instance_full = [col + [0] * (n - len(col)) for col in instances]
+    instance_lagrange = _to_device_columns(instance_full, n)
+    instance_coeff = dom.lagrange_to_coeff(instance_lagrange) if cs.num_instance else instance_lagrange
+    instance_ext = dom.coeff_to_extended(instance_coeff) if cs.num_instance else instance_lagrange
+
+    # ---- advice synthesis + blinding + commitments --------------------------------
+    cs2_config = _reconfigure(circuit, cs)
+    asg = synthesize(circuit, cs, cs2_config, k, instances=instance_full)
+    advice_cols = []
+    blind_rows = rng.field_elements((n - u) * cs.num_advice)
+    bi = 0
+    for col in asg.advice:
+        vals = [0 if v is None else v for v in col]
+        for row in range(u, n):
+            vals[row] = blind_rows[bi]
+            bi += 1
+        advice_cols.append(vals)
+    advice_lagrange = _to_device_columns(advice_cols, n)
+    for i in range(cs.num_advice):
+        com = g1.point_to_host(params.commit_lagrange(advice_lagrange[i]))
+        transcript.write_point(com)
+    advice_coeff = dom.lagrange_to_coeff(advice_lagrange)
+    advice_ext = dom.coeff_to_extended(advice_coeff)
+
+    # ---- theta / lookups (none) ------------------------------------------------------
+    _theta = transcript.squeeze_challenge()
+
+    # ---- beta, gamma; permutation z polys ---------------------------------------------
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    perm_cols = cs.permutation_columns
+    perm_values = _gather_permutation_values(
+        perm_cols, advice_lagrange, pk.fixed_lagrange, instance_lagrange, n
+    )
+    zs = []
+    if perm_cols:
+        chunk_len = cs.permutation_chunk_len()
+        zs = z_polys(perm_values, pk.sigma_lagrange, beta, gamma, chunk_len, k, u)
+        # blind z rows n-bf..n-1
+        blinded = []
+        for z in zs:
+            rand = ints_to_mont_limbs(rng.field_elements(bf), FR_MOD)
+            z = z.at[n - bf :, :].set(jnp.asarray(rand))
+            blinded.append(z)
+        zs = blinded
+        for z in zs:
+            transcript.write_point(g1.point_to_host(params.commit_lagrange(z)))
+
+    # ---- vanishing: random poly, y, quotient -------------------------------------------
+    random_coeffs = rng.field_elements(n)
+    random_poly = jnp.asarray(ints_to_mont_limbs(random_coeffs, FR_MOD))
+    transcript.write_point(g1.point_to_host(params.commit(random_poly)))
+    y = transcript.squeeze_challenge()
+
+    z_coeffs = [dom.lagrange_to_coeff(z) for z in zs]
+    z_exts = [dom.coeff_to_extended(zc) for zc in z_coeffs]
+    perm_value_coeff = dom.lagrange_to_coeff(perm_values) if perm_cols else perm_values
+    perm_value_ext = dom.coeff_to_extended(perm_value_coeff) if perm_cols else perm_values
+
+    h_ext = quotient_ext(
+        pk, advice_ext, instance_ext, z_exts, perm_value_ext, y, beta, gamma
+    )
+    h_coeff_full = dom.extended_to_coeff(h_ext)
+    qd = cs.degree() - 1
+    h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(qd)]
+    for piece in h_pieces:
+        transcript.write_point(g1.point_to_host(params.commit(piece)))
+
+    # ---- x and evaluations ------------------------------------------------------------
+    x = transcript.squeeze_challenge()
+    x_next = dom.rotate_omega(x, 1)
+    x_last = dom.rotate_omega(x, -(bf + 1))
+
+    def evals_at(coeff_batch, point: int) -> list[int]:
+        if coeff_batch.shape[0] == 0:
+            return []
+        out = eval_polys_at(coeff_batch, scalar_mont(point))
+        return [mont_limbs_to_int(r, FR_MOD) for r in np.asarray(out)]
+
+    # advice evals in query order
+    advice_evals = {}
+    for (col, rot) in cs.advice_queries:
+        pt = dom.rotate_omega(x, rot)
+        ev = _eval_single(advice_coeff[col], pt)
+        advice_evals[(col, rot)] = ev
+        transcript.write_scalar(ev)
+    fixed_evals = {}
+    for (col, rot) in cs.fixed_queries:
+        pt = dom.rotate_omega(x, rot)
+        ev = _eval_single(pk.fixed_coeff[col], pt)
+        fixed_evals[(col, rot)] = ev
+        transcript.write_scalar(ev)
+    # vanishing: random eval
+    random_eval = _eval_single(random_poly, x)
+    transcript.write_scalar(random_eval)
+    # permutation common (sigma) evals
+    sigma_evals = []
+    for i in range(len(perm_cols)):
+        ev = _eval_single(pk.sigma_coeff[i], x)
+        sigma_evals.append(ev)
+        transcript.write_scalar(ev)
+    # permutation z evals: per set z(x), z(wx), then z(x_last) if more sets remain
+    z_evals = []
+    for i, zc in enumerate(z_coeffs):
+        e_x = _eval_single(zc, x)
+        e_next = _eval_single(zc, x_next)
+        entry = {"x": e_x, "next": e_next}
+        transcript.write_scalar(e_x)
+        transcript.write_scalar(e_next)
+        if i < len(z_coeffs) - 1:
+            e_last = _eval_single(zc, x_last)
+            entry["last"] = e_last
+            transcript.write_scalar(e_last)
+        z_evals.append(entry)
+
+    # ---- multiopen query assembly (order mirrors halo2 create_proof) ----------------
+    # Query format: (label, poly, point, eval).  Labels give polys a stable
+    # identity so SHPLONK's rotation-set grouping matches between prover and
+    # verifier.
+    queries = []
+    for (col, rot) in cs.advice_queries:
+        pt = dom.rotate_omega(x, rot)
+        queries.append((f"advice{col}", advice_coeff[col], pt, advice_evals[(col, rot)]))
+    # permutation prover opens: z(x), z(x_next) per set; then rev-skip-1 z(x_last)
+    for i, zc in enumerate(z_coeffs):
+        queries.append((f"z{i}", zc, x, z_evals[i]["x"]))
+        queries.append((f"z{i}", zc, x_next, z_evals[i]["next"]))
+    for i in range(len(z_coeffs) - 2, -1, -1):
+        queries.append((f"z{i}", z_coeffs[i], x_last, z_evals[i]["last"]))
+    for (col, rot) in cs.fixed_queries:
+        pt = dom.rotate_omega(x, rot)
+        queries.append((f"fixed{col}", pk.fixed_coeff[col], pt, fixed_evals[(col, rot)]))
+    for i in range(len(perm_cols)):
+        queries.append((f"sigma{i}", pk.sigma_coeff[i], x, sigma_evals[i]))
+    # vanishing: combined h poly then random poly
+    h_combined = _combine_h(h_pieces, x, n)
+    h_eval = _eval_single(h_combined, x)
+    queries.append(("h", h_combined, x, h_eval))
+    queries.append(("random", random_poly, x, random_eval))
+
+    if scheme == "gwc":
+        gwc.open_gwc(params, transcript, queries, k, dom.omega)
+    elif scheme == "shplonk":
+        shplonk.open_shplonk(params, transcript, queries, k, dom.omega)
+    else:
+        raise ValueError(f"unknown multiopen scheme {scheme}")
+
+    return transcript.finalize()
+
+
+def _reconfigure(circuit, cs):
+    """Build the circuit's config against the already-finalized CS by running
+    configure on a throwaway CS and re-mapping nothing — configure must be
+    deterministic, so the column objects in the fresh config coincide with the
+    ones registered in `cs` (same indices/kinds)."""
+    from ..frontend import ConstraintSystem
+
+    tmp = ConstraintSystem()
+    return type(circuit).configure(tmp)
+
+
+def _eval_single(coeff_poly, point: int) -> int:
+    out = eval_polys_at(coeff_poly[None, :, :], scalar_mont(point))
+    return mont_limbs_to_int(np.asarray(out)[0], FR_MOD)
+
+
+def _combine_h(h_pieces, x: int, n: int):
+    """sum_i x^{n i} h_i — a degree < n coefficient poly."""
+    acc = None
+    coeff = 1
+    for piece in h_pieces:
+        term = mont.mul(FR, piece, scalar_mont(coeff)[None, :])
+        acc = term if acc is None else mont.add(FR, acc, term)
+        coeff = coeff * pow(x, n, FR_MOD) % FR_MOD
+    return acc
+
+
+def _gather_permutation_values(perm_cols, advice_lagrange, fixed_lagrange,
+                               instance_lagrange, n):
+    if not perm_cols:
+        return jnp.zeros((0, n, 16), dtype=jnp.uint32)
+    rows = []
+    for c in perm_cols:
+        if c.kind == "advice":
+            rows.append(advice_lagrange[c.index])
+        elif c.kind == "fixed":
+            rows.append(fixed_lagrange[c.index])
+        else:
+            rows.append(instance_lagrange[c.index])
+    return jnp.stack(rows)

@@ -16,6 +16,10 @@ if "jax" not in sys.modules:
 import numpy as np
 import pytest
 
+from halo2_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def rng():
