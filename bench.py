@@ -1,0 +1,150 @@
+"""Round benchmark: the two north-star kernels (BASELINE.md targets).
+
+Times, on the default JAX backend (the real TPU chip under the driver):
+  * NTT of a 2^22-coefficient BN254-Fr polynomial (halo2 `best_fft` analog)
+  * Pippenger MSM over 2^20 G1 points (halo2 `best_multiexp` analog)
+
+Prints ONE JSON line: the headline metric is the summed ms of the two ops.
+`vs_baseline` is measured-speedup vs a documented multithreaded-CPU-halo2
+operating point (the reference publishes no numbers — BASELINE.md — so the
+comparison point is the commonly reported order of magnitude for halo2's
+rayon backend on a 16-core host: ~400 ms for MSM 2^20, ~300 ms for NTT 2^22;
+the >=5x north-star target is 140 ms combined).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+BASELINE_CPU_MS = 400.0 + 300.0  # documented assumption, see module docstring
+
+K_NTT = int(os.environ.get("BENCH_K_NTT", "22"))
+K_MSM = int(os.environ.get("BENCH_K_MSM", "20"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_ntt(k: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from halo2_tpu.field.bn254 import FR_MOD, FR_ROOT_OF_UNITY, FR_S
+    from halo2_tpu.poly.ntt import _bitrev_perm, _ntt_core, powers_table
+
+    n = 1 << k
+    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - k), FR_MOD)
+    rng = np.random.default_rng(1)
+    # random Montgomery residues: 16-bit limbs with the top limb masked < p
+    a_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    a_np[:, 15] &= 0x2FFF  # keep < p (p top limb is 0x3064)
+    a = jnp.asarray(a_np)
+    perm = jnp.asarray(_bitrev_perm(k))
+    tw = powers_table(omega, k - 1)
+
+    f = jax.jit(lambda x: _ntt_core(x, perm, tw, k))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(a))
+    log(f"ntt 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(a))
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = min(times)
+    log(f"ntt 2^{k}: {ms:.2f} ms (min of {REPS})")
+    return ms
+
+
+def _msm_points(k: int):
+    """2^k real G1 points ([i+1]G), generated on device once and cached."""
+    import jax.numpy as jnp
+
+    path = os.path.join(CACHE_DIR, f"msm_points_k{k}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        return jnp.asarray(d["px"]), jnp.asarray(d["py"])
+
+    import jax
+
+    from halo2_tpu.commit import srs as srs_mod
+    from halo2_tpu.ec import jax_g1 as g1
+    from halo2_tpu.field.limbs import ints_to_limbs
+
+    n = 1 << k
+    tx, ty = srs_mod._gen_table_device()
+    log(f"generating 2^{k} G1 points on device ...")
+    chunks_x, chunks_y = [], []
+    chunk = 1 << min(k, 18)
+    for lo in range(0, n, chunk):
+        scalars = ints_to_limbs(range(lo + 1, lo + chunk + 1))
+        P = srs_mod._fixed_base_mul_batch(tx, ty, jnp.asarray(scalars))
+        ax, ay, _ = g1.to_affine_batch(P)
+        chunks_x.append(np.asarray(ax))
+        chunks_y.append(np.asarray(ay))
+    px = np.concatenate(chunks_x)
+    py = np.concatenate(chunks_y)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(path, px=px, py=py)
+    return jnp.asarray(px), jnp.asarray(py)
+
+
+def bench_msm(k: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from halo2_tpu.ec.msm import _msm_core
+
+    n = 1 << k
+    PX, PY = _msm_points(k)
+    rng = np.random.default_rng(2)
+    s_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    s_np[:, 15] &= 0x2FFF
+    scalars = jnp.asarray(s_np)
+
+    c = 16 if n >= (1 << 16) else 8
+    t0 = time.perf_counter()
+    jax.block_until_ready(_msm_core(PX, PY, scalars, c))
+    log(f"msm 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(_msm_core(PX, PY, scalars, c))
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = min(times)
+    log(f"msm 2^{k}: {ms:.2f} ms (min of {REPS})")
+    return ms
+
+
+def main():
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    ntt_ms = bench_ntt(K_NTT)
+    msm_ms = bench_msm(K_MSM)
+    total = ntt_ms + msm_ms
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_2^{K_MSM}_plus_ntt_2^{K_NTT}",
+                "value": round(total, 2),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_CPU_MS / total, 3),
+                "detail": {
+                    "ntt_ms": round(ntt_ms, 2),
+                    "msm_ms": round(msm_ms, 2),
+                    "baseline_cpu_ms_assumed": BASELINE_CPU_MS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,14 +4,21 @@ exercised without TPU hardware (SURVEY.md section 4, multi-chip testing)."""
 import os
 import sys
 
-# Must run before jax is imported anywhere.
-if "jax" not in sys.modules:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+# Force CPU with 8 virtual devices (the ambient environment may export
+# JAX_PLATFORMS=axon/tpu, and a sitecustomize may have already imported jax —
+# but the backend only initializes on first use, so env set here still wins).
+# The suite needs a multi-device mesh to exercise sharded code paths, which
+# only the host platform provides without a pod.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

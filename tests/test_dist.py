@@ -1,0 +1,85 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md section 4 item 4 —
+the sharded MSM/NTT coverage the reference lacks entirely)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_tpu import dist
+from halo2_tpu.dist.mesh import row_sharding
+from halo2_tpu.ec import host as ec_host
+from halo2_tpu.ec import jax_g1 as g1
+from halo2_tpu.field.bn254 import FR_MOD
+from halo2_tpu.field.limbs import ints_to_limbs, ints_to_mont_limbs, mont_limbs_to_ints
+from halo2_tpu.poly import fft
+from halo2_tpu.poly.domain import get_domain
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return dist.make_mesh(8)
+
+
+def test_ntt_sharded_matches_local(mesh, rng):
+    k = 9
+    n = 1 << k
+    dom = get_domain(k)
+    vals = [int(x) for x in rng.integers(0, 2**63, size=n)]
+    a_host = ints_to_mont_limbs(vals, FR_MOD)
+    a = jax.device_put(jnp.asarray(a_host), row_sharding(mesh))
+
+    got = dist.ntt_sharded(a, k, dom.omega, mesh)
+    want = fft(jnp.asarray(a_host), k, dom.omega)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_intt_roundtrip_sharded(mesh, rng):
+    k = 8
+    n = 1 << k
+    dom = get_domain(k)
+    vals = [int(x) for x in rng.integers(0, 2**63, size=n)]
+    a_host = jnp.asarray(ints_to_mont_limbs(vals, FR_MOD))
+    a = jax.device_put(a_host, row_sharding(mesh))
+    back = dist.intt_sharded(dist.ntt_sharded(a, k, dom.omega, mesh), k, dom.omega, mesh)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a_host))
+
+
+def test_msm_sharded_matches_host(mesh, rng):
+    n = 64
+    points = [ec_host.g1_mul(ec_host.G1, int(s)) for s in rng.integers(1, 2**31, size=n)]
+    scalars = [int(s) for s in rng.integers(0, 2**63, size=n)]
+
+    PX, PY, _ = g1.points_to_device(points)
+    S = jnp.asarray(ints_to_limbs(scalars))
+    sh = row_sharding(mesh)
+    out = dist.msm_sharded(
+        jax.device_put(PX, sh), jax.device_put(PY, sh), jax.device_put(S, sh), mesh
+    )
+    got = g1.point_to_host(out)
+
+    want = ec_host.g1_msm_host(points, scalars)
+    assert got == want
+
+
+def test_prove_step_sharded_runs(mesh, rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    k = 6
+    n = 1 << k
+    dom = get_domain(k)
+    m = 3
+    vals = rng.integers(0, 2**63, size=(m, n))
+    adv = jnp.asarray(
+        np.stack([ints_to_mont_limbs([int(v) for v in row], FR_MOD) for row in vals])
+    )
+    adv = jax.device_put(adv, NamedSharding(mesh, P(None, "shard")))
+    pts = [ec_host.g1_mul(ec_host.G1, i + 1) for i in range(n)]
+    PX, PY, _ = g1.points_to_device(pts)
+    sh = row_sharding(mesh)
+    gate, com = dist.prove_step_sharded(
+        mesh, adv, jax.device_put(PX, sh), jax.device_put(PY, sh), k, dom.omega
+    )
+    assert gate.shape == (n, 16)
+    assert g1.point_to_host(com) is not None
