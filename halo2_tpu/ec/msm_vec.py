@@ -1,0 +1,210 @@
+"""Production MSM on the vec (limb-major) layout.
+
+Replaces ec/msm.py's segmented-scan bucket accumulation with a cheaper and
+simpler identity: after sorting a window's points by digit, let
+
+    T[v] = inclusive-prefix-sum of sorted points up to the last index with
+           digit <= v                      (one UNSEGMENTED prefix scan)
+
+Then bucket_v = T[v] - T[v-1] telescopes, and the weighted bucket reduction
+collapses to
+
+    sum_v v * bucket_v = (V-1) * T[V-1] - sum_{v=0}^{V-2} T[v]
+
+— no per-bucket suffix scan at all: one prefix scan over the points (the
+pairwise work-efficient scheme, ~2n point adds), a V-point gather, and one
+tree reduction.  The per-window partials (T_max, sum_T) are folded on the
+host (a handful of bigint point ops) where the 2^c scalar multiply and the
+Horner window combination are trivial.
+
+Field work runs through the Pallas kernels of field/vec.py via g1_vec.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import vec as fv
+from ..field.bn254 import FQ_MOD
+from ..field.limbs import ints_to_limbs, mont_limbs_to_int
+from . import host as ec_host
+from . import g1_vec as gv
+
+SCALAR_BITS = 256
+
+
+def _digits(scalars, c: int):
+    """[n, 16] raw scalar limbs -> [n_windows, n] int32 digits."""
+    n_windows = (SCALAR_BITS + c - 1) // c
+    outs = []
+    for w in range(n_windows):
+        bit0 = w * c
+        limb, off = divmod(bit0, 16)
+        lo = scalars[:, limb] >> off
+        if off + c > 16 and limb + 1 < scalars.shape[1]:
+            lo = lo | (scalars[:, limb + 1] << (16 - off))
+        outs.append((lo & np.uint32((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(outs)
+
+
+def _flat_point(n: int, X, Y, Z):
+    return (X, Y, Z), n
+
+
+def _pad_flat(a, m: int):
+    """[16, m] -> [16, m_pad] with zero (identity-Z) padding, m_pad % 1024 == 0
+    (or == 8*128 minimum)."""
+    target = max(-(-m // fv.GROUP) * fv.GROUP, fv.GROUP)
+    if target == m:
+        return a
+    return jnp.pad(a, ((0, 0), (0, target - m)))
+
+
+def _vpadd_flat(P, Q, m: int):
+    """padd on flat [16, m] coordinate tuples (zero-padded to kernel shape)."""
+    rows = max(-(-m // fv.GROUP) * fv.GROUP, fv.GROUP) // fv.LANES
+    Pv = tuple(_pad_flat(a, m).reshape(16, rows, fv.LANES) for a in P)
+    Qv = tuple(_pad_flat(a, m).reshape(16, rows, fv.LANES) for a in Q)
+    out = gv.vpadd(Pv, Qv)
+    return tuple(a.reshape(16, rows * fv.LANES)[:, :m] for a in out)
+
+
+def _prefix_scan(P, m: int):
+    """Work-efficient inclusive prefix scan of the padd monoid over flat
+    [16, m] point coords (m a power of two)."""
+    if m == 1:
+        return P
+    even = tuple(a[:, 0::2] for a in P)  # [16, m/2]
+    odd = tuple(a[:, 1::2] for a in P)
+    pair = _vpadd_flat(even, odd, m // 2)
+    ps = _prefix_scan(pair, m // 2)  # prefix of pair sums
+    # out[2i+1] = ps[i];  out[0] = P[0];  out[2i] = ps[i-1] + P[2i]  (i >= 1)
+    ps_shift = tuple(
+        jnp.concatenate([jnp.zeros((16, 1), dtype=a.dtype), a[:, :-1]], axis=1)
+        for a in ps
+    )
+    evfix = _vpadd_flat(ps_shift, even, m // 2)
+    # evfix[0] = identity + P[0] = P[0]  (Z-padding makes ps_shift[0] identity)
+    out = []
+    for e, o in zip(evfix, ps):
+        merged = jnp.stack([e, o], axis=2).reshape(16, m)
+        out.append(merged)
+    return tuple(out)
+
+
+def _tree_reduce(P, m: int):
+    """Reduce m points (flat [16, m]) to one with a halving padd tree."""
+    while m > 1:
+        half = m // 2
+        lo = tuple(a[:, :half] for a in P)
+        hi = tuple(a[:, half : 2 * half] for a in P)
+        s = _vpadd_flat(lo, hi, half)
+        if m % 2:
+            s = tuple(
+                jnp.concatenate([a, b[:, -1:]], axis=1) for a, b in zip(s, P)
+            )
+            m = half + 1
+        else:
+            m = half
+        P = s
+    return P
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _msm_window_partials(PX, PY, scalars, c: int):
+    """Per window: (T_max, sum_T) Jacobian partials, each [n_windows] points.
+
+    PX, PY: [n, 16] Montgomery Fq (limbs-last for coalesced gathers).
+    scalars: [n, 16] raw Fr limbs.
+    Returns coord array [n_windows, 2, 48] (host-foldable).
+
+    The window loop is a lax.scan so the (heavy) per-window graph traces
+    once; digits are the scanned input.
+    """
+    n = PX.shape[0]
+    assert n & (n - 1) == 0, "msm_vec needs a power-of-two point count"
+    V = 1 << c
+    digits_all = _digits(scalars, c)
+    one = jnp.asarray(gv._ONE_COL.reshape(16))
+
+    def one_window(carry, d):
+        order = jnp.argsort(d)
+        sd = d[order]
+        X = jnp.take(PX, order, axis=0)  # [n, 16] coalesced gather
+        Y = jnp.take(PY, order, axis=0)
+        Xf = jnp.transpose(X, (1, 0))  # [16, n]
+        Yf = jnp.transpose(Y, (1, 0))
+        Zf = jnp.broadcast_to(one[:, None], (16, n))
+        prefix = _prefix_scan((Xf, Yf, Zf), n)
+
+        # T[v] = prefix at last index with digit <= v (identity if none)
+        tails = (
+            jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.int32), side="right")
+            - 1
+        )
+        safe = jnp.clip(tails, 0, n - 1)
+        T = tuple(jnp.take(a, safe, axis=1) for a in prefix)  # [16, V]
+        none_mask = (tails < 0)[None, :]
+        T = (
+            jnp.where(none_mask, one[:, None], T[0]),
+            jnp.where(none_mask, one[:, None], T[1]),
+            jnp.where(none_mask, 0, T[2]),
+        )
+        t_max = tuple(a[:, V - 1 :] for a in T)  # [16, 1] == full sum
+        sum_t = _tree_reduce(tuple(a[:, : V - 1] for a in T), V - 1)
+        out = jnp.stack(
+            [
+                jnp.concatenate(t_max, 0)[:, 0],
+                jnp.concatenate(sum_t, 0)[:, 0],
+            ],
+            axis=0,
+        )  # [2, 48]
+        return carry, out
+
+    _, outs = jax.lax.scan(one_window, 0, digits_all)
+    return outs  # [n_windows, 2, 48]
+
+
+def msm_vec(PX, PY, scalars, c: int | None = None):
+    """Full MSM; returns a host affine point (or None).
+
+    PX, PY: [n, 16] Montgomery Fq device arrays; scalars raw Fr [n, 16]."""
+    n = PX.shape[0]
+    if c is None:
+        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+    V = 1 << c
+    parts = np.asarray(_msm_window_partials(PX, PY, scalars, c))
+
+    def to_host(coords):  # [48] mont limbs triple -> host Jacobian -> affine
+        x = mont_limbs_to_int(coords[0:16], FQ_MOD)
+        y = mont_limbs_to_int(coords[16:32], FQ_MOD)
+        z = mont_limbs_to_int(coords[32:48], FQ_MOD)
+        return ec_host.g1_jacobian_to_affine(x, y, z)
+
+    acc = None
+    n_windows = parts.shape[0]
+    for w in range(n_windows - 1, -1, -1):
+        for _ in range(c):
+            acc = ec_host.g1_double(acc)
+        t_max = to_host(parts[w, 0, :])
+        sum_t = to_host(parts[w, 1, :])
+        wsum = ec_host.g1_add(
+            ec_host.g1_mul(t_max, V - 1) if t_max is not None else None,
+            ec_host.g1_neg(sum_t) if sum_t is not None else None,
+        )
+        acc = ec_host.g1_add(acc, wsum)
+    return acc
+
+
+def msm_vec_host(points, scalars, c: int | None = None):
+    """Host affine points + int scalars -> host affine point."""
+    from ..field.bn254 import FR_MOD
+    from . import jax_g1 as g1
+
+    PX, PY, _ = g1.points_to_device(points)
+    s = jnp.asarray(ints_to_limbs([x % FR_MOD for x in scalars]))
+    return msm_vec(PX, PY, s, c)

@@ -57,6 +57,9 @@ class Assignment:
         self.instances = instances or [[] for _ in range(cs.num_instance)]
         self.copies: list[tuple[tuple[Column, int], tuple[Column, int]]] = []
         self.max_row_touched = -1
+        # (name, start_row, row_count, columns) per region — consumed by the
+        # layout renderer (viz/), the CircuitLayout equivalent
+        self.regions: list[tuple[str, int, int, list]] = []
 
     def instance_value(self, col: int, row: int):
         vals = self.instances[col]
@@ -203,6 +206,9 @@ class SimpleLayouter:
         self.region_starts.append(start)
         for c in shape.columns:
             self.cursors[c] = start + shape.row_count
+        self.asg.regions.append(
+            (name, start, shape.row_count, sorted(shape.columns, key=str))
+        )
         region = Region(self, index, shape_mode=False, start=start, shape=shape)
         out = fn(region)
         for constant, cell in region.queued_constants:
