@@ -77,20 +77,26 @@ def _msm_points(k: int):
 
     from halo2_tpu.commit import srs as srs_mod
     from halo2_tpu.ec import jax_g1 as g1
+    from halo2_tpu.field import vec as fv
     from halo2_tpu.field.limbs import ints_to_limbs
 
     n = 1 << k
     tx, ty = srs_mod._gen_table_device()
-    log(f"generating 2^{k} G1 points on device ...")
+    log(f"generating 2^{k} G1 points on device (vec kernels) ...")
     chunks_x, chunks_y = [], []
-    chunk = 1 << min(k, 16)
+    chunk = 1 << min(k, 18)
+    t0 = time.perf_counter()
     for lo in range(0, n, chunk):
         scalars = ints_to_limbs(range(lo + 1, lo + chunk + 1))
-        P = srs_mod._fixed_base_mul_batch(tx, ty, jnp.asarray(scalars))
+        X, Y, Z = srs_mod._fixed_base_mul_batch_vec(tx, ty, jnp.asarray(scalars))
+        m = chunk
+        P = tuple(
+            jnp.transpose(a.reshape(16, m), (1, 0)) for a in (X, Y, Z)
+        )
         ax, ay, _ = g1.to_affine_batch(P)
         chunks_x.append(np.asarray(ax))
         chunks_y.append(np.asarray(ay))
-        log(f"  {lo + chunk}/{n}")
+        log(f"  {lo + chunk}/{n} ({time.perf_counter()-t0:.0f}s)")
     px = np.concatenate(chunks_x)
     py = np.concatenate(chunks_y)
     os.makedirs(CACHE_DIR, exist_ok=True)

@@ -80,6 +80,44 @@ def _fixed_base_mul_batch(table_x, table_y, scalars_raw):
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=())
+def _fixed_base_mul_batch_vec(table_x, table_y, scalars_raw):
+    """Vec-layout (Pallas kernel) version of _fixed_base_mul_batch: [n, 16]
+    raw scalars -> Jacobian (X, Y, Z) vec arrays [16, rows, 128].
+
+    ~10x the throughput of the jnp-layout scan on TPU; used for SRS and
+    bench point generation (n must be a multiple of 1024)."""
+    from ..ec import g1_vec as gv
+    from ..field import vec as fv
+
+    n = scalars_raw.shape[0]
+    rows = n // fv.LANES
+    acc = gv.videntity(rows)
+    one_col = jnp.asarray(gv._ONE_COL)
+
+    def body(acc, inputs):
+        gx, gy, b = inputs
+        limb = b // 16
+        off = b % 16
+        bits = (
+            jax.lax.dynamic_index_in_dim(scalars_raw, limb, axis=1, keepdims=False)
+            >> off
+        ) & 1  # [n]
+        mask = bits.reshape(rows, fv.LANES) != 0
+        P = (
+            jnp.broadcast_to(gx[:, None, None], (16, rows, fv.LANES)),
+            jnp.broadcast_to(gy[:, None, None], (16, rows, fv.LANES)),
+            jnp.broadcast_to(one_col, (16, rows, fv.LANES)),
+        )
+        cand = gv.vpadd(acc, P)
+        acc = gv.vselect(mask, cand, acc)
+        return acc, None
+
+    bs = jnp.arange(256, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, acc, (table_x, table_y, bs))
+    return acc
+
+
 @dataclass(eq=False)
 class ParamsKZG:
     """SRS held on device: g / g_lagrange as [n, 16] Montgomery coordinate

@@ -40,7 +40,9 @@ N_ROUNDS_F = 8
 
 @dataclass(frozen=True, eq=False)
 class PoseidonSpec:
-    """A concrete Poseidon instantiation over Fr (width/rate/rounds/consts)."""
+    """A concrete Poseidon instantiation (width/rate/rounds/consts) over the
+    prime field `p` (BN254 Fr by default; Pasta fields for the vendored
+    P128Pow5T3 spec parity — see p128pow5t3.py)."""
 
     width: int
     rate: int
@@ -49,16 +51,17 @@ class PoseidonSpec:
     round_constants: tuple  # (r_f + r_p) rows of `width` ints
     mds: tuple  # width x width ints
     mds_inv: tuple
+    p: int = FR_MOD
 
     @staticmethod
     @functools.lru_cache(maxsize=None)
     def make(width: int, rate: int, r_f: int = N_ROUNDS_F, r_p: int | None = None,
-             secure_mds: int = 0) -> "PoseidonSpec":
+             secure_mds: int = 0, p: int = FR_MOD, n_bits: int = 254) -> "PoseidonSpec":
         assert rate == width - 1, "sponge rate must be width-1 (Pow5 layout)"
         assert r_f % 2 == 0
         if r_p is None:
             r_p = N_ROUNDS_P[width]  # reference's WIDTH-indexed lookup
-        grain = Grain(FR_MOD, 254, width, r_f, r_p)
+        grain = Grain(p, n_bits, width, r_f, r_p)
         rcs = tuple(
             tuple(grain.next_field_element() for _ in range(width))
             for _ in range(r_f + r_p)
@@ -72,6 +75,7 @@ class PoseidonSpec:
             round_constants=rcs,
             mds=tuple(tuple(r) for r in mds),
             mds_inv=tuple(tuple(r) for r in mds_inv),
+            p=p,
         )
 
 
@@ -85,13 +89,13 @@ def wasm_spec() -> PoseidonSpec:
 # ---------------------------------------------------------------------------
 
 
-def _sbox(x: int) -> int:
-    return pow(x, 5, FR_MOD)
+def _sbox(x: int, p: int = FR_MOD) -> int:
+    return pow(x, 5, p)
 
 
 def permute(spec: PoseidonSpec, state: list) -> list:
     """In-place-style Poseidon permutation on `width` host ints."""
-    p = FR_MOD
+    p = spec.p
     t = spec.width
     half_f = spec.r_f // 2
     s = list(state)
@@ -101,15 +105,15 @@ def permute(spec: PoseidonSpec, state: list) -> list:
 
     r = 0
     for _ in range(half_f):
-        s = apply_mds([_sbox((w + c) % p) for w, c in zip(s, spec.round_constants[r])])
+        s = apply_mds([_sbox((w + c) % p, p) for w, c in zip(s, spec.round_constants[r])])
         r += 1
     for _ in range(spec.r_p):
         s = [(w + c) % p for w, c in zip(s, spec.round_constants[r])]
-        s[0] = _sbox(s[0])
+        s[0] = _sbox(s[0], p)
         s = apply_mds(s)
         r += 1
     for _ in range(half_f):
-        s = apply_mds([_sbox((w + c) % p) for w, c in zip(s, spec.round_constants[r])])
+        s = apply_mds([_sbox((w + c) % p, p) for w, c in zip(s, spec.round_constants[r])])
         r += 1
     return s
 
@@ -126,11 +130,11 @@ def hash_constant_length(spec: PoseidonSpec, message: list, length: int | None =
     padded = list(message) + [0] * (k * rate - L)
 
     state = [0] * spec.width
-    state[rate] = (L << 64) % FR_MOD  # initial capacity element
+    state[rate] = (L << 64) % spec.p  # initial capacity element
     for chunk_start in range(0, len(padded), rate):
         chunk = padded[chunk_start : chunk_start + rate]
         for i, v in enumerate(chunk):
-            state[i] = (state[i] + v) % FR_MOD
+            state[i] = (state[i] + v) % spec.p
         state = permute(spec, state)
     return state[0]
 

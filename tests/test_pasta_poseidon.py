@@ -1,0 +1,138 @@
+"""P128Pow5T3 (Pasta) Poseidon KATs — parity with the reference's
+p128pow5t3.rs tests (verify_constants / permute_test_vectors /
+hash_test_vectors, reference lines 116-319) and zcash-test-vectors data
+(circuits/src/poseidon/primitives/test_vectors.rs)."""
+
+from halo2_tpu.hashes.p128pow5t3 import (
+    PALLAS_BASE,
+    VESTA_BASE,
+    p128pow5t3_fp,
+    p128pow5t3_fq,
+)
+from halo2_tpu.hashes.poseidon import hash_constant_length, permute
+
+
+def _le(bs: bytes) -> int:
+    return int.from_bytes(bs, "little")
+
+
+def test_verify_constants_fp():
+    """Generated == published pasta-hadeshash constants (reference
+    fp.rs:13-..., from_raw u64 limbs little-endian)."""
+    spec = p128pow5t3_fp()
+    assert spec.round_constants[0][0] == (
+        0x57538C2596426303
+        + (0x4E71162F31003B70 << 64)
+        + (0x353F628F76D110F3 << 128)
+        + (0x360D7470611E473D << 192)
+    )
+    assert spec.round_constants[0][1] == (
+        0xBDB74213BF63188B
+        + (0x4908AC2F12EBE06F << 64)
+        + (0x5DC3C6C5FEBFAA31 << 128)
+        + (0x2BAB94D7AE222D13 << 192)
+    )
+    assert spec.round_constants[0][2] == (
+        0x0939D92753CC5DC8
+        + (0xEF77E7D736766C5D << 64)
+        + (0x2BF03E1A29AA871F << 128)
+        + (0x150C93FEF652FB1C << 192)
+    )
+    assert spec.round_constants[1][0] == (
+        0x14259DCE537782B2
+        + (0x03CC0A60141E894E << 64)
+        + (0x955D55DB56DC57C1 << 128)
+        + (0x3270661E68928B3A << 192)
+    )
+    # MDS * MDS_INV == I
+    t = spec.width
+    for i in range(t):
+        for j in range(t):
+            acc = sum(spec.mds[i][k] * spec.mds_inv[k][j] for k in range(t))
+            assert acc % PALLAS_BASE == (1 if i == j else 0)
+
+
+def test_permute_zcash_vector_fp():
+    """zcash-test-vectors orchard_poseidon/permute/fp.py, vector 1
+    (reference test_vectors.rs fp::permute)."""
+    spec = p128pow5t3_fp()
+    out = permute(spec, [0, 1, 2])
+    want = [
+        _le(bytes([
+            0x56, 0xA4, 0xEC, 0x4A, 0x02, 0xBC, 0xB1, 0xAE, 0xA0, 0x42, 0xB6,
+            0xD0, 0x71, 0x9A, 0xE6, 0xF7, 0x0F, 0x24, 0x66, 0xF9, 0x64, 0xB3,
+            0xEF, 0x94, 0x53, 0xB4, 0x64, 0x0B, 0xCD, 0x6A, 0x52, 0x2A,
+        ])),
+        _le(bytes([
+            0x2A, 0xB8, 0xE5, 0x28, 0x96, 0x3E, 0x2A, 0x01, 0xFE, 0xDA, 0xD9,
+            0xBE, 0x7F, 0x2E, 0xD4, 0xDC, 0x12, 0x55, 0x3D, 0x34, 0xAE, 0x7D,
+            0xFF, 0x76, 0x30, 0xA4, 0x4A, 0x8B, 0x56, 0xD1, 0xC5, 0x13,
+        ])),
+        _le(bytes([
+            0xDD, 0x9D, 0x4E, 0xD3, 0xA1, 0x29, 0x90, 0x35, 0x7B, 0x2C, 0xA4,
+            0xBD, 0xE1, 0xDF, 0xCF, 0xF7, 0x1A, 0x56, 0x84, 0x79, 0x59, 0xCD,
+            0x6F, 0x25, 0x44, 0x65, 0x97, 0xC6, 0x68, 0xC8, 0x49, 0x0A,
+        ])),
+    ]
+    assert out == want
+
+
+def test_permute_zcash_vector_fq():
+    """zcash-test-vectors orchard_poseidon/permute/fq.py, vector 1."""
+    spec = p128pow5t3_fq()
+    out = permute(spec, [0, 1, 2])
+    want = [
+        _le(bytes([
+            0x59, 0xBE, 0xBE, 0x13, 0xA8, 0x8E, 0xB0, 0x0E, 0xC6, 0x36, 0xD3,
+            0x3D, 0x97, 0xD1, 0x43, 0x4D, 0xF7, 0x2F, 0x8F, 0x2F, 0xF2, 0x74,
+            0xDD, 0xED, 0x7C, 0x2F, 0x94, 0xDB, 0x4C, 0x1F, 0x5A, 0x31,
+        ])),
+        _le(bytes([
+            0xF1, 0x65, 0xA1, 0x1E, 0xE6, 0x26, 0xF1, 0xF9, 0x98, 0x21, 0xBD,
+            0x7B, 0xEB, 0xE0, 0x3E, 0x41, 0x48, 0xAA, 0x13, 0xDD, 0xE0, 0xDE,
+            0x2A, 0x64, 0xDE, 0x2B, 0x64, 0xD7, 0xF2, 0x75, 0xE4, 0x3B,
+        ])),
+        _le(bytes([
+            0xD9, 0xA0, 0x7B, 0x2A, 0x37, 0x42, 0xD5, 0x14, 0xA0, 0x3F, 0x42,
+            0xE0, 0xD4, 0xBF, 0x19, 0x50, 0x60, 0xEA, 0xD8, 0x20, 0x24, 0xDB,
+            0x7F, 0x11, 0x68, 0x71, 0x53, 0xE9, 0xEC, 0x8A, 0xAB, 0x25,
+        ])),
+    ]
+    assert out == want
+
+
+def test_orchard_spec_equivalence_fp():
+    """Sponge hash of [m0, m1] == permute([m0, m1, 2 << 64])[0]
+    (reference primitives.rs:390-404)."""
+    spec = p128pow5t3_fp()
+    m0, m1 = 0x123456789ABCDEF, 0xFEDCBA987654321
+    sponge = hash_constant_length(spec, [m0, m1])
+    direct = permute(spec, [m0, m1, 2 << 64])[0]
+    assert sponge == direct
+
+
+def test_circomlib_poseidon_runs():
+    """The circomlib-style t=2 Poseidon (the reference's dead code path,
+    poseidon_circuit.rs:153-214) evaluates deterministically."""
+    from halo2_tpu.hashes.circomlib import poseidon
+
+    a = poseidon([1])
+    b = poseidon([1])
+    c = poseidon([2])
+    assert a == b != c
+    from halo2_tpu.field.bn254 import FR_MOD
+
+    assert 0 <= a < FR_MOD
+
+
+def test_unstringify():
+    """Base64 -> decimal parity (reference unstringify.rs:54-60)."""
+    import base64
+
+    from halo2_tpu.utils.unstringify import hex_to_decimal, unstringify_hex
+
+    assert hex_to_decimal("ff") == "255"
+    assert hex_to_decimal("0100") == "256"
+    val = 0xDEADBEEF1234
+    b64 = base64.b64encode(val.to_bytes(6, "big")).decode()
+    assert unstringify_hex(b64) == str(val)
