@@ -52,15 +52,18 @@ def bench_ntt(k: int) -> float:
     a = jnp.asarray(a_np)
 
     t0 = time.perf_counter()
-    jax.block_until_ready(_ntt_jit(a, k, omega, False))
+    np.asarray(_ntt_jit(a, k, omega, False)[:1])  # readback forces completion
     log(f"ntt 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
+    # NOTE: block_until_ready is unreliable through the axon relay (returns
+    # early); a 1-row readback is the completion fence.  Chaining amortizes
+    # the ~30 ms per-readback relay round trip.
     t0 = time.perf_counter()
     r = a
     for _ in range(REPS):
         r = _ntt_jit(r, k, omega, False)
-    jax.block_until_ready(r)
+    np.asarray(r[:1])
     ms = (time.perf_counter() - t0) / REPS * 1e3
-    log(f"ntt 2^{k}: {ms:.2f} ms (chained avg of {REPS})")
+    log(f"ntt 2^{k}: {ms:.2f} ms (chained avg of {REPS}, readback-fenced)")
     return ms
 
 
@@ -119,15 +122,20 @@ def bench_msm(k: int) -> float:
 
     c = 16 if n >= (1 << 16) else 8
     t0 = time.perf_counter()
-    jax.block_until_ready(_msm_window_partials(PX, PY, scalars, c))
+    np.asarray(_msm_window_partials(PX, PY, scalars, c))
     log(f"msm 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(REPS):
-        outs.append(_msm_window_partials(PX, PY, scalars, c))
-    jax.block_until_ready(outs)
-    ms = (time.perf_counter() - t0) / REPS * 1e3
-    log(f"msm 2^{k}: {ms:.2f} ms (avg of {REPS} queued)")
+    times = []
+    for i in range(REPS):
+        s_np = np.random.default_rng(100 + i).integers(
+            0, 1 << 16, size=(n, 16), dtype=np.uint32
+        )
+        s_np[:, 15] &= 0x2FFF
+        sc = jnp.asarray(s_np)
+        t0 = time.perf_counter()
+        np.asarray(_msm_window_partials(PX, PY, sc, c))
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = min(times)
+    log(f"msm 2^{k}: {ms:.2f} ms (min of {REPS}, fresh scalars, readback-fenced)")
     return ms
 
 

@@ -88,6 +88,45 @@ class MockProver:
                         )
                         break  # one failure per poly is enough signal
 
+        # lookup arguments: every input tuple over the usable rows must appear
+        # among the table tuples (halo2 MockProver behavior)
+        if self.cs.lookups:
+            usable = n - self.cs.blinding_factors() - 1
+
+            def eval_at(poly, row):
+                return evaluate(
+                    poly,
+                    constant=lambda v: v,
+                    fixed=lambda q, r=row: self._fixed(q.column_index, r + q.rotation),
+                    advice=lambda q, r=row: self._advice(q.column_index, r + q.rotation),
+                    instance=lambda q, r=row: self.asg.instance_value(
+                        q.column_index, (r + q.rotation) % n
+                    ),
+                    selector=lambda q: (_ for _ in ()).throw(
+                        AssertionError("selectors must be finalized")
+                    ),
+                    add=lambda a, b: (a + b) % FR_MOD,
+                    mul=lambda a, b: (a * b) % FR_MOD,
+                    neg=lambda a: (-a) % FR_MOD,
+                    scale=lambda a, s: (a * s) % FR_MOD,
+                ) % FR_MOD
+
+            for name, pairs in self.cs.lookups:
+                table = {
+                    tuple(eval_at(te, row) for _ie, te in pairs)
+                    for row in range(usable)
+                }
+                for row in range(usable):
+                    tup = tuple(eval_at(ie, row) for ie, _te in pairs)
+                    if tup not in table:
+                        failures.append(
+                            VerifyFailure(
+                                "lookup",
+                                f"'{name}' input {tup} at row {row} not in table",
+                            )
+                        )
+                        break
+
         for (ca, ra), (cb, rb) in self.asg.copies:
             va = self._cell_value(ca, ra)
             vb = self._cell_value(cb, rb)

@@ -91,6 +91,8 @@ def quotient_ext(
     y: int,
     beta: int,
     gamma: int,
+    lookup_exts=(),
+    lookup_theta: int = 0,
 ):
     """h over the extended coset (device array [ext_n, 16]).
 
@@ -161,6 +163,62 @@ def quotient_ext(
                     FR, right, mont.add(FR, mont.add(FR, v, id_term), gamma_m[None, :])
                 )
             value = fold(value, mont.mul(FR, l_active, mont.sub(FR, left, right)))
+
+    # ---- lookup constraints -------------------------------------------------------
+    if lookup_exts:
+        l0 = pk.l0_ext
+        l_last = pk.l_last_ext
+        l_active = pk.l_active_ext
+        theta_m = scalar_mont(lookup_theta)
+
+        def compress_ext(exprs):
+            acc = jnp.zeros((1, 16), dtype=jnp.uint32)
+            for e in exprs:
+                ev = eval_expr_ext(e, pk.fixed_ext, advice_ext, instance_ext,
+                                   rot_scale, ext_n)
+                acc = mont.add(FR, mont.mul(FR, acc, theta_m[None, :]), ev)
+            return jnp.broadcast_to(acc, (ext_n, 16))
+
+        for le, (_name, pairs) in zip(lookup_exts, cs.lookups):
+            z = le["z"]
+            a_p = le["a_perm"]
+            s_p = le["s_perm"]
+            # the compressed input/table are EXPRESSIONS evaluated over the
+            # extended coset (degree = expression degree), matching what the
+            # verifier reconstructs from the query evals at x — NOT the
+            # interpolation of the per-row values
+            a_comp = compress_ext([i for i, _ in pairs])
+            s_comp = compress_ext([t for _, t in pairs])
+            # l_0 * (1 - z)
+            value = fold(value, mont.mul(FR, l0, mont.sub(FR, one, z)))
+            # l_last * (z^2 - z)
+            value = fold(
+                value, mont.mul(FR, l_last, mont.sub(FR, mont.square(FR, z), z))
+            )
+            # l_active * (z(wX)(A'+beta)(S'+gamma) - z(X)(A+beta)(S+gamma))
+            left = mont.mul(
+                FR,
+                mont.mul(FR, _roll_rot(z, 1, rot_scale),
+                         mont.add(FR, a_p, beta_m[None, :])),
+                mont.add(FR, s_p, gamma_m[None, :]),
+            )
+            right = mont.mul(
+                FR,
+                mont.mul(FR, z, mont.add(FR, a_comp, beta_m[None, :])),
+                mont.add(FR, s_comp, gamma_m[None, :]),
+            )
+            value = fold(value, mont.mul(FR, l_active, mont.sub(FR, left, right)))
+            # l_0 * (A' - S')
+            diff = mont.sub(FR, a_p, s_p)
+            value = fold(value, mont.mul(FR, l0, diff))
+            # l_active * (A' - S') * (A' - A'(w^-1 X))
+            a_prev = _roll_rot(a_p, -1, rot_scale)
+            value = fold(
+                value,
+                mont.mul(
+                    FR, mont.mul(FR, l_active, diff), mont.sub(FR, a_p, a_prev)
+                ),
+            )
 
     # ---- divide by the vanishing polynomial ----------------------------------------
     zh_inv = _zh_inv_ext(dom.k, dom.extended_k)

@@ -32,6 +32,7 @@ from ..field.limbs import ints_to_mont_limbs, mont_limbs_to_int
 from ..frontend import synthesize
 from ..poly.ops import eval_polys_at, scalar_mont
 from ..transcript import Blake2bWrite
+from . import lookup as lookup_arg
 from .evaluation import quotient_ext
 from .keygen import ProvingKey
 from .permutation import z_polys
@@ -115,8 +116,33 @@ def create_proof(
     advice_coeff = dom.lagrange_to_coeff(advice_lagrange)
     advice_ext = dom.coeff_to_extended(advice_coeff)
 
-    # ---- theta / lookups (none) ------------------------------------------------------
-    _theta = transcript.squeeze_challenge()
+    # ---- theta; lookup permuted columns -----------------------------------------------
+    theta = transcript.squeeze_challenge()
+    fixed_host = asg.fixed
+
+    def _inst(col, row):
+        vals = instance_full[col] if instance_full else []
+        return vals[row % n] % FR_MOD if row % n < len(vals) else 0
+
+    lookups_data = []  # per lookup: dict with host lists + device arrays
+    for (_name, pairs) in cs.lookups:
+        A = lookup_arg.compress_rows(
+            [i for i, _ in pairs], theta, n, advice_cols, fixed_host, _inst
+        )
+        S = lookup_arg.compress_rows(
+            [t for _, t in pairs], theta, n, advice_cols, fixed_host, _inst
+        )
+        a_perm, s_perm = lookup_arg.permute_pair(A, S, u)
+        a_perm = a_perm + rng.field_elements(n - u)
+        s_perm = s_perm + rng.field_elements(n - u)
+        a_dev = jnp.asarray(ints_to_mont_limbs(a_perm, FR_MOD))
+        s_dev = jnp.asarray(ints_to_mont_limbs(s_perm, FR_MOD))
+        transcript.write_point(g1.point_to_host(params.commit_lagrange(a_dev)))
+        transcript.write_point(g1.point_to_host(params.commit_lagrange(s_dev)))
+        lookups_data.append(
+            {"A": A, "S": S, "a_perm": a_perm, "s_perm": s_perm,
+             "a_dev": a_dev, "s_dev": s_dev}
+        )
 
     # ---- beta, gamma; permutation z polys ---------------------------------------------
     beta = transcript.squeeze_challenge()
@@ -140,6 +166,18 @@ def create_proof(
         for z in zs:
             transcript.write_point(g1.point_to_host(params.commit_lagrange(z)))
 
+    # ---- lookup grand products ---------------------------------------------------------
+    for ld in lookups_data:
+        z_rows = lookup_arg.grand_product(
+            ld["A"], ld["S"], ld["a_perm"], ld["s_perm"], beta, gamma, u
+        )
+        z_rows = z_rows + rng.field_elements(n - len(z_rows))
+        ld["z_rows"] = z_rows
+        ld["z_dev"] = jnp.asarray(ints_to_mont_limbs(z_rows, FR_MOD))
+        transcript.write_point(
+            g1.point_to_host(params.commit_lagrange(ld["z_dev"]))
+        )
+
     # ---- vanishing: random poly, y, quotient -------------------------------------------
     random_coeffs = rng.field_elements(n)
     random_poly = jnp.asarray(ints_to_mont_limbs(random_coeffs, FR_MOD))
@@ -151,8 +189,22 @@ def create_proof(
     perm_value_coeff = dom.lagrange_to_coeff(perm_values) if perm_cols else perm_values
     perm_value_ext = dom.coeff_to_extended(perm_value_coeff) if perm_cols else perm_values
 
+    lookup_exts = []
+    for ld in lookups_data:
+        ld["a_perm_coeff"] = dom.lagrange_to_coeff(ld["a_dev"])
+        ld["s_perm_coeff"] = dom.lagrange_to_coeff(ld["s_dev"])
+        ld["z_coeff"] = dom.lagrange_to_coeff(ld["z_dev"])
+        lookup_exts.append(
+            {
+                "a_perm": dom.coeff_to_extended(ld["a_perm_coeff"]),
+                "s_perm": dom.coeff_to_extended(ld["s_perm_coeff"]),
+                "z": dom.coeff_to_extended(ld["z_coeff"]),
+            }
+        )
+
     h_ext = quotient_ext(
-        pk, advice_ext, instance_ext, z_exts, perm_value_ext, y, beta, gamma
+        pk, advice_ext, instance_ext, z_exts, perm_value_ext, y, beta, gamma,
+        lookup_exts=lookup_exts, lookup_theta=theta,
     )
     h_coeff_full = dom.extended_to_coeff(h_ext)
     qd = cs.degree() - 1
@@ -206,6 +258,18 @@ def create_proof(
             entry["last"] = e_last
             transcript.write_scalar(e_last)
         z_evals.append(entry)
+    # lookup evals: z(x), z(wx), A'(x), A'(w^-1 x), S'(x) per lookup
+    x_inv = dom.rotate_omega(x, -1)
+    for ld in lookups_data:
+        ld["ev"] = {
+            "z": _eval_single(ld["z_coeff"], x),
+            "z_next": _eval_single(ld["z_coeff"], x_next),
+            "a": _eval_single(ld["a_perm_coeff"], x),
+            "a_inv": _eval_single(ld["a_perm_coeff"], x_inv),
+            "s": _eval_single(ld["s_perm_coeff"], x),
+        }
+        for key in ("z", "z_next", "a", "a_inv", "s"):
+            transcript.write_scalar(ld["ev"][key])
 
     # ---- multiopen query assembly (order mirrors halo2 create_proof) ----------------
     # Query format: (label, poly, point, eval).  Labels give polys a stable
@@ -221,6 +285,14 @@ def create_proof(
         queries.append((f"z{i}", zc, x_next, z_evals[i]["next"]))
     for i in range(len(z_coeffs) - 2, -1, -1):
         queries.append((f"z{i}", z_coeffs[i], x_last, z_evals[i]["last"]))
+    # lookup opens: z@x, A'@x, S'@x, A'@x_inv, z@x_next (halo2 order)
+    for li, ld in enumerate(lookups_data):
+        ev = ld["ev"]
+        queries.append((f"lz{li}", ld["z_coeff"], x, ev["z"]))
+        queries.append((f"la{li}", ld["a_perm_coeff"], x, ev["a"]))
+        queries.append((f"ls{li}", ld["s_perm_coeff"], x, ev["s"]))
+        queries.append((f"la{li}", ld["a_perm_coeff"], x_inv, ev["a_inv"]))
+        queries.append((f"lz{li}", ld["z_coeff"], x_next, ev["z_next"]))
     for (col, rot) in cs.fixed_queries:
         pt = dom.rotate_omega(x, rot)
         queries.append((f"fixed{col}", pk.fixed_coeff[col], pt, fixed_evals[(col, rot)]))

@@ -55,10 +55,14 @@ def _verify(params, vk, proof, instances, scheme) -> bool:
             t.common_scalar(v)
 
     advice_commitments = [t.read_point() for _ in range(cs.num_advice)]
-    _theta = t.squeeze_challenge()
+    theta = t.squeeze_challenge()
+    lookup_perm_commitments = [
+        (t.read_point(), t.read_point()) for _ in cs.lookups
+    ]
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
     z_commitments = [t.read_point() for _ in range(num_chunks)]
+    lookup_z_commitments = [t.read_point() for _ in cs.lookups]
     random_commitment = t.read_point()
     y = t.squeeze_challenge()
     qd = cs.degree() - 1
@@ -66,6 +70,7 @@ def _verify(params, vk, proof, instances, scheme) -> bool:
     x = t.squeeze_challenge()
     x_next = dom.rotate_omega(x, 1)
     x_last = dom.rotate_omega(x, -(bf + 1))
+    x_inv = dom.rotate_omega(x, -1)
 
     advice_evals = [t.read_scalar() for _ in cs.advice_queries]
     fixed_evals = [t.read_scalar() for _ in cs.fixed_queries]
@@ -77,6 +82,17 @@ def _verify(params, vk, proof, instances, scheme) -> bool:
         if i < num_chunks - 1:
             entry["last"] = t.read_scalar()
         z_evals.append(entry)
+    lookup_evals = []
+    for _ in cs.lookups:
+        lookup_evals.append(
+            {
+                "z": t.read_scalar(),
+                "z_next": t.read_scalar(),
+                "a": t.read_scalar(),
+                "a_inv": t.read_scalar(),
+                "s": t.read_scalar(),
+            }
+        )
 
     # ---- instance evals at the queried rotations (computed, not read) ----------
     instance_evals = []
@@ -113,14 +129,14 @@ def _verify(params, vk, proof, instances, scheme) -> bool:
         for poly in gate.polys:
             value = (value * y + eval_gate(poly)) % FR_MOD
 
-    if cs.permutation_columns:
-        l0 = dom.eval_lagrange(0, x)
-        l_last = dom.eval_lagrange(u, x)
-        l_blind = 0
-        for i in range(u + 1, n):
-            l_blind = (l_blind + dom.eval_lagrange(i, x)) % FR_MOD
-        l_active = (1 - (l_last + l_blind)) % FR_MOD
+    l0 = dom.eval_lagrange(0, x)
+    l_last = dom.eval_lagrange(u, x)
+    l_blind = 0
+    for i in range(u + 1, n):
+        l_blind = (l_blind + dom.eval_lagrange(i, x)) % FR_MOD
+    l_active = (1 - (l_last + l_blind)) % FR_MOD
 
+    if cs.permutation_columns:
         value = (value * y + l0 * (1 - z_evals[0]["x"])) % FR_MOD
         zl = z_evals[-1]["x"]
         value = (value * y + l_last * (zl * zl - zl)) % FR_MOD
@@ -151,6 +167,29 @@ def _verify(params, vk, proof, instances, scheme) -> bool:
                 )
             value = (value * y + l_active * (left - right)) % FR_MOD
 
+    for li, (_name, pairs) in enumerate(cs.lookups):
+        ev = lookup_evals[li]
+        a_comp = 0
+        for e, _te in pairs:
+            a_comp = (a_comp * theta + eval_gate(e)) % FR_MOD
+        s_comp = 0
+        for _ie, e in pairs:
+            s_comp = (s_comp * theta + eval_gate(e)) % FR_MOD
+        value = (value * y + l0 * (1 - ev["z"])) % FR_MOD
+        value = (value * y + l_last * (ev["z"] * ev["z"] - ev["z"])) % FR_MOD
+        left = ev["z_next"] * ((ev["a"] + beta) % FR_MOD) % FR_MOD * (
+            (ev["s"] + gamma) % FR_MOD
+        ) % FR_MOD
+        right = ev["z"] * ((a_comp + beta) % FR_MOD) % FR_MOD * (
+            (s_comp + gamma) % FR_MOD
+        ) % FR_MOD
+        value = (value * y + l_active * (left - right)) % FR_MOD
+        value = (value * y + l0 * (ev["a"] - ev["s"])) % FR_MOD
+        value = (
+            value * y
+            + l_active * ((ev["a"] - ev["s"]) % FR_MOD) * ((ev["a"] - ev["a_inv"]) % FR_MOD)
+        ) % FR_MOD
+
     zh_x = (pow(x, n, FR_MOD) - 1) % FR_MOD
     if zh_x == 0:
         return False
@@ -166,6 +205,14 @@ def _verify(params, vk, proof, instances, scheme) -> bool:
         queries.append((f"z{i}", z_commitments[i], x_next, z_evals[i]["next"]))
     for i in range(num_chunks - 2, -1, -1):
         queries.append((f"z{i}", z_commitments[i], x_last, z_evals[i]["last"]))
+    for li in range(len(cs.lookups)):
+        ev = lookup_evals[li]
+        a_com, s_com = lookup_perm_commitments[li]
+        queries.append((f"lz{li}", lookup_z_commitments[li], x, ev["z"]))
+        queries.append((f"la{li}", a_com, x, ev["a"]))
+        queries.append((f"ls{li}", s_com, x, ev["s"]))
+        queries.append((f"la{li}", a_com, x_inv, ev["a_inv"]))
+        queries.append((f"lz{li}", lookup_z_commitments[li], x_next, ev["z_next"]))
     for qi, (col, rot) in enumerate(cs.fixed_queries):
         pt = dom.rotate_omega(x, rot)
         queries.append((f"fixed{col}", vk.fixed_commitments[col], pt, fixed_evals[qi]))
