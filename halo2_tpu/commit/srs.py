@@ -208,8 +208,14 @@ class ParamsKZG:
 
     @staticmethod
     def read(data: bytes) -> "ParamsKZG":
+        if len(data) < 4:
+            raise ValueError("params too short")
         k = int.from_bytes(data[:4], "little")
+        if k > 28:
+            raise ValueError(f"params k={k} out of range")
         n = 1 << k
+        if len(data) != 4 + 2 * n * 64 + 2 * 128:
+            raise ValueError("params byte length mismatch")
         pos = 4
         groups = []
         for _ in range(2):

@@ -113,3 +113,140 @@ def vpneg(P):
     X, Y, Z = P
     zero = jnp.zeros_like(Y)
     return (X, fv.vsub(FQ, zero, Y), Z)
+
+
+# ---------------------------------------------------------------------------
+# fused single-kernel padd: one Pallas call instead of ~28 (the MSM hot op)
+# ---------------------------------------------------------------------------
+
+import functools
+
+import jax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# only the largest scan levels get a dedicated kernel; smaller arrays use the
+# composed-primitive path (compile-time economy; the top levels carry nearly
+# all of the work)
+FUSED_MIN_ROWS = 256
+
+_ONE16 = tuple(np.uint32(int(v)) for v in int_to_mont_limbs(1, FQ_MOD))
+
+
+def _padd_body_lists(p, q, p16, n0inv):
+    """Full Jacobian add on limb LISTS (each entry one [S,128] block).
+    p, q: (x, y, z) triples of 16-limb lists.  Returns (x3, y3, z3) lists."""
+    L = fv.L
+    (X1, Y1, Z1), (X2, Y2, Z2) = p, q
+
+    def mul(a, b):
+        return fv._redc(fv._comba_columns(a, b), p16, n0inv)
+
+    def add(a, b):
+        return fv._add_body(a, b, p16)
+
+    def sub(a, b):
+        return fv._sub_body(a, b, p16)
+
+    def is_zero(a):
+        acc = a[0]
+        for v in a[1:]:
+            acc = acc | v
+        return acc == 0
+
+    def select(cond, a, b):
+        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+    Z1Z1 = mul(Z1, Z1)
+    Z2Z2 = mul(Z2, Z2)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(Y1, mul(Z2, Z2Z2))
+    S2 = mul(Y2, mul(Z1, Z1Z1))
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    HH = mul(H, H)
+    HHH = mul(H, HH)
+    V = mul(U1, HH)
+    X3 = sub(sub(mul(r, r), HHH), add(V, V))
+    Y3 = sub(mul(r, sub(V, X3)), mul(S1, HHH))
+    Z3 = mul(mul(Z1, Z2), H)
+
+    # doubling branch (same-point inputs)
+    A = mul(X1, X1)
+    B = mul(Y1, Y1)
+    C = mul(B, B)
+    t = sub(mul(add(X1, B), add(X1, B)), add(A, C))
+    D = add(t, t)
+    E = add(add(A, A), A)
+    F = mul(E, E)
+    Xd = sub(F, add(D, D))
+    c2 = add(C, C)
+    c4 = add(c2, c2)
+    c8 = add(c4, c4)
+    Yd = sub(mul(E, sub(D, Xd)), c8)
+    zy = mul(Y1, Z1)
+    Zd = add(zy, zy)
+
+    p_inf = is_zero(Z1)
+    q_inf = is_zero(Z2)
+    h_zero = is_zero(H)
+    r_zero = is_zero(r)
+    finite = jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf))
+    same = jnp.logical_and(jnp.logical_and(h_zero, r_zero), finite)
+    opp = jnp.logical_and(
+        jnp.logical_and(h_zero, jnp.logical_not(r_zero)), finite
+    )
+
+    ident = [
+        [jnp.full_like(X1[0], _ONE16[i]) for i in range(L)],
+        [jnp.full_like(X1[0], _ONE16[i]) for i in range(L)],
+        [jnp.zeros_like(X1[0]) for _ in range(L)],
+    ]
+    out = [X3, Y3, Z3]
+    dbl = [Xd, Yd, Zd]
+    out = [select(same, d, o) for d, o in zip(dbl, out)]
+    out = [select(opp, i, o) for i, o in zip(ident, out)]
+    out = [select(q_inf, a, o) for a, o in zip([X1, Y1, Z1], out)]
+    out = [select(p_inf, b, o) for b, o in zip([X2, Y2, Z2], out)]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _vpadd_fused_call(rows: int):
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        p = tuple([ref[i] for i in range(L)] for ref in (x1, y1, z1))
+        q = tuple([ref[i] for i in range(L)] for ref in (x2, y2, z2))
+        out = _padd_body_lists(p, q, p16, n0inv)
+        for i in range(L):
+            ox[i] = out[0][i]
+            oy[i] = out[1][i]
+            oz[i] = out[2][i]
+
+    bs = pl.BlockSpec(
+        (L, fv.SUB, fv.LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, rows, fv.LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(rows // fv.SUB,),
+        in_specs=[bs] * 6,
+        out_specs=(bs, bs, bs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def vpadd_fused(P, Q):
+    """vpadd as ONE Pallas kernel (used when the batch is large enough to
+    amortize its compile; identical math/edge handling)."""
+    rows = P[0].shape[1]
+    if fv._interpret() or rows < FUSED_MIN_ROWS or rows % fv.SUB:
+        return vpadd(P, Q)
+    out = _vpadd_fused_call(rows)(*P, *Q)
+    return tuple(out)

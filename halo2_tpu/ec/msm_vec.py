@@ -69,7 +69,7 @@ def _vpadd_flat(P, Q, m: int):
     rows = max(-(-m // fv.GROUP) * fv.GROUP, fv.GROUP) // fv.LANES
     Pv = tuple(_pad_flat(a, m).reshape(16, rows, fv.LANES) for a in P)
     Qv = tuple(_pad_flat(a, m).reshape(16, rows, fv.LANES) for a in Q)
-    out = gv.vpadd(Pv, Qv)
+    out = gv.vpadd_fused(Pv, Qv)
     return tuple(a.reshape(16, rows * fv.LANES)[:, :m] for a in out)
 
 
