@@ -250,3 +250,111 @@ def vpadd_fused(P, Q):
         return vpadd(P, Q)
     out = _vpadd_fused_call(rows)(*P, *Q)
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# chained local scan: the MSM bucket-accumulation workhorse.
+#
+# Layout: [16, CHUNK*8, 128*nblocks] where chain c = (j*8 + s)*128 + l owns
+# ranks c*CHUNK + r at position [:, r*8 + s, j*128 + l].  Each grid step
+# scans CHUNK ranks for 1024 chains entirely in VMEM — no HBM glue between
+# scan levels (the failure mode of the pairwise-recursion scan).
+# ---------------------------------------------------------------------------
+
+SCAN_CHUNK = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _local_scan_call(chunk: int, rows: int, lanes: int):
+    """Inclusive per-chain scan + writes prefixes in place; block
+    [16, chunk*8, 128]."""
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(x1, y1, z1, ox, oy, oz):
+        refs_in = (x1, y1, z1)
+        refs_out = (ox, oy, oz)
+
+        def read(r):
+            off = pl.multiple_of(r * 8, 8)
+            return tuple(
+                jnp.stack([ref[i, pl.ds(off, 8), :] for i in range(L)])
+                for ref in refs_in
+            )
+
+        def write(r, acc):
+            off = pl.multiple_of(r * 8, 8)
+            for ref, coord in zip(refs_out, acc):
+                for i in range(L):
+                    ref[i, pl.ds(off, 8), :] = coord[i]
+
+        acc0 = read(0)
+        write(0, acc0)
+
+        def body(r, acc):
+            cur = read(r)
+            p = tuple([c[i] for i in range(L)] for c in acc)
+            q = tuple([c[i] for i in range(L)] for c in cur)
+            out = _padd_body_lists(p, q, p16, n0inv)
+            nxt = tuple(jnp.stack(c) for c in out)
+            write(r, nxt)
+            return nxt
+
+        jax.lax.fori_loop(1, chunk, body, acc0)
+
+    bs = pl.BlockSpec(
+        (L, chunk * 8, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(lanes // 128,),
+        in_specs=[bs] * 3,
+        out_specs=(bs, bs, bs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _offset_add_call(chunk: int, rows: int, lanes: int):
+    """out[:, r*8+s, :] = padd(x[:, r*8+s, :], off[:, s, :]) for every r —
+    adds each chain's exclusive offset to its local prefixes."""
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(x1, y1, z1, fx, fy, fz, ox, oy, oz):
+        off = tuple([ref[i] for i in range(L)] for ref in (fx, fy, fz))
+
+        def body(r, _):
+            o8 = pl.multiple_of(r * 8, 8)
+            cur = tuple(
+                [ref[i, pl.ds(o8, 8), :] for i in range(L)]
+                for ref in (x1, y1, z1)
+            )
+            res = _padd_body_lists(off, cur, p16, n0inv)
+            for ref, coord in zip((ox, oy, oz), res):
+                for i in range(L):
+                    ref[i, pl.ds(o8, 8), :] = coord[i]
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    bs = pl.BlockSpec(
+        (L, chunk * 8, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    bs_off = pl.BlockSpec((L, 8, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
+    off_shape = jax.ShapeDtypeStruct((L, 8, lanes), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(lanes // 128,),
+        in_specs=[bs] * 3 + [bs_off] * 3,
+        out_specs=(bs, bs, bs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )

@@ -96,6 +96,113 @@ def _prefix_scan(P, m: int):
     return tuple(out)
 
 
+def _to_chained(a, m: int):
+    """[16, m] rank-major -> [16, CHUNK*8, lanes] chained layout (chain
+    c = j*1024 + s*128 + l owns ranks c*CHUNK + r at [:, r*8+s, j*128+l])."""
+    CHUNK = gv.SCAN_CHUNK
+    nblocks = m // CHUNK // 1024
+    x = a.reshape(16, nblocks, 8, 128, CHUNK)  # [16, j, s, l, r]
+    return x.transpose(0, 4, 2, 1, 3).reshape(16, CHUNK * 8, nblocks * 128)
+
+
+def _from_chained(a, m: int):
+    CHUNK = gv.SCAN_CHUNK
+    nblocks = m // CHUNK // 1024
+    x = a.reshape(16, CHUNK, 8, nblocks, 128)  # [16, r, s, j, l]
+    return x.transpose(0, 3, 2, 4, 1).reshape(16, m)
+
+
+def _chained_pos(e, m: int):
+    """Rank e -> flat index into the chained layout reshaped [16, rows*lanes]."""
+    CHUNK = gv.SCAN_CHUNK
+    nblocks = m // CHUNK // 1024
+    lanes = nblocks * 128
+    c = e // CHUNK
+    r = e % CHUNK
+    j = c // 1024
+    s = (c % 1024) // 128
+    l = c % 128
+    return (r * 8 + s) * lanes + (j * 128 + l)
+
+
+def _local_scan(P, m: int):
+    """Chained local scan: returns (pref_chained tuple, chain_offsets flat
+    [16, chains] exclusive).  m % (CHUNK*1024) == 0 required."""
+    CHUNK = gv.SCAN_CHUNK
+    chains = m // CHUNK
+    nblocks = chains // 1024
+    rows, lanes = CHUNK * 8, nblocks * 128
+    xc = tuple(_to_chained(a, m) for a in P)
+    pref = gv._local_scan_call(CHUNK, rows, lanes)(*xc)
+    tot = tuple(a[:, (CHUNK - 1) * 8 :, :] for a in pref)  # [16, 8, lanes]
+    tot_flat = tuple(
+        a.reshape(16, 8, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
+        for a in tot
+    )
+    tot_pref = _chained_prefix_scan(tot_flat, chains)
+    offs = tuple(
+        jnp.concatenate([jnp.zeros((16, 1), dtype=a.dtype), a[:, :-1]], axis=1)
+        for a in tot_pref
+    )
+    return pref, offs
+
+
+def _chained_prefix_scan(P, m: int):
+    """Inclusive prefix scan over flat rank-major [16, m] coords: chained
+    local scans + recursive totals scan + one offset-add pass.  Falls back to
+    the pairwise scheme for small m or on CPU."""
+    CHUNK = gv.SCAN_CHUNK
+    chains = m // CHUNK
+    if fv._interpret() or m % CHUNK or chains % 1024:
+        return _prefix_scan(P, m)
+    nblocks = chains // 1024
+    rows, lanes = CHUNK * 8, nblocks * 128
+    pref, offs = _local_scan(P, m)
+    offs_ch = tuple(
+        a.reshape(16, nblocks, 8, 128).transpose(0, 2, 1, 3).reshape(16, 8, lanes)
+        for a in offs
+    )
+    out = gv._offset_add_call(CHUNK, rows, lanes)(*pref, *offs_ch)
+    return tuple(_from_chained(a, m) for a in out)
+
+
+def _prefix_at(P, m: int, idx):
+    """Inclusive-prefix values at rank indices `idx` [K] (entries clipped to
+    [0, m)), WITHOUT materializing the full prefix: local scan + gather the
+    local prefixes and chain offsets at the requested ranks + one padd over
+    K elements.  Returns (coords tuple [16, K])."""
+    CHUNK = gv.SCAN_CHUNK
+    chains = m // CHUNK
+    if fv._interpret() or m % CHUNK or chains % 1024:
+        full = _prefix_scan(P, m)
+        return tuple(jnp.take(a, idx, axis=1) for a in full)
+    pref, offs = _local_scan(P, m)
+    pos = _chained_pos(idx, m)
+    local = tuple(jnp.take(a.reshape(16, -1), pos, axis=1) for a in pref)
+    off_at = tuple(jnp.take(a, idx // CHUNK, axis=1) for a in offs)
+    k = idx.shape[0]
+    return _vpadd_flat(local, off_at, k)
+
+
+def _chained_reduce(P, m: int):
+    """Sum of m points (flat [16, m]) via chained local scans (totals only);
+    returns coords [16, 1]."""
+    CHUNK = gv.SCAN_CHUNK
+    chains = m // CHUNK
+    if fv._interpret() or m % CHUNK or chains % 1024:
+        return _tree_reduce(P, m)
+    pref, offs = _local_scan(P, m)
+    # total = offset of a virtual chain after the last = offs[last] + last tot
+    # simpler: chain totals scanned inclusively = offs shifted; recompute:
+    nblocks = chains // 1024
+    tot = tuple(a[:, (gv.SCAN_CHUNK - 1) * 8 :, :] for a in pref)
+    tot_flat = tuple(
+        a.reshape(16, 8, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
+        for a in tot
+    )
+    return _chained_reduce(tot_flat, chains)
+
+
 def _tree_reduce(P, m: int):
     """Reduce m points (flat [16, m]) to one with a halving padd tree."""
     while m > 1:
@@ -130,24 +237,24 @@ def _msm_window_partials(PX, PY, scalars, c: int):
     V = 1 << c
     digits_all = _digits(scalars, c)
     one = jnp.asarray(gv._ONE_COL.reshape(16))
+    PXY = jnp.concatenate([PX, PY], axis=1)  # [n, 32]: one gather per window
 
     def one_window(carry, d):
         order = jnp.argsort(d)
         sd = d[order]
-        X = jnp.take(PX, order, axis=0)  # [n, 16] coalesced gather
-        Y = jnp.take(PY, order, axis=0)
-        Xf = jnp.transpose(X, (1, 0))  # [16, n]
-        Yf = jnp.transpose(Y, (1, 0))
+        XY = jnp.take(PXY, order, axis=0)  # [n, 32] coalesced gather
+        Xf = jnp.transpose(XY[:, :16], (1, 0))  # [16, n]
+        Yf = jnp.transpose(XY[:, 16:], (1, 0))
         Zf = jnp.broadcast_to(one[:, None], (16, n))
-        prefix = _prefix_scan((Xf, Yf, Zf), n)
 
-        # T[v] = prefix at last index with digit <= v (identity if none)
+        # T[v] = prefix at last index with digit <= v (identity if none) —
+        # gathered from local prefixes + per-chain offsets, no full prefix
         tails = (
             jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.int32), side="right")
             - 1
         )
         safe = jnp.clip(tails, 0, n - 1)
-        T = tuple(jnp.take(a, safe, axis=1) for a in prefix)  # [16, V]
+        T = _prefix_at((Xf, Yf, Zf), n, safe)  # [16, V]
         none_mask = (tails < 0)[None, :]
         T = (
             jnp.where(none_mask, one[:, None], T[0]),
@@ -155,7 +262,14 @@ def _msm_window_partials(PX, PY, scalars, c: int):
             jnp.where(none_mask, 0, T[2]),
         )
         t_max = tuple(a[:, V - 1 :] for a in T)  # [16, 1] == full sum
-        sum_t = _tree_reduce(tuple(a[:, : V - 1] for a in T), V - 1)
+        # sum over T[0..V-2]: zero-pad (identity) to V and chain-reduce
+        Tpad = tuple(
+            jnp.concatenate(
+                [a[:, : V - 1], jnp.zeros((16, 1), dtype=a.dtype)], axis=1
+            )
+            for a in T
+        )
+        sum_t = _chained_reduce(Tpad, V)
         out = jnp.stack(
             [
                 jnp.concatenate(t_max, 0)[:, 0],
