@@ -32,6 +32,7 @@ from ..field.limbs import ints_to_mont_limbs, mont_limbs_to_int
 from ..frontend import synthesize
 from ..poly.ops import eval_polys_at, scalar_mont
 from ..transcript import Blake2bWrite
+from ..utils.profiling import PhaseTimer
 from . import lookup as lookup_arg
 from .evaluation import quotient_ext
 from .keygen import ProvingKey
@@ -77,6 +78,7 @@ def create_proof(
     bf = cs.blinding_factors()
     u = pk.vk.usable_row
     rng = DeterministicRng(rng_seed)
+    timer = PhaseTimer()
 
     transcript = Blake2bWrite()
     transcript.common_scalar(pk.vk.transcript_repr)
@@ -115,6 +117,7 @@ def create_proof(
         transcript.write_point(com)
     advice_coeff = dom.lagrange_to_coeff(advice_lagrange)
     advice_ext = dom.coeff_to_extended(advice_coeff)
+    timer.mark("prove.advice")
 
     # ---- theta; lookup permuted columns -----------------------------------------------
     theta = transcript.squeeze_challenge()
@@ -143,6 +146,8 @@ def create_proof(
             {"A": A, "S": S, "a_perm": a_perm, "s_perm": s_perm,
              "a_dev": a_dev, "s_dev": s_dev}
         )
+
+    timer.mark("prove.lookup_permute")
 
     # ---- beta, gamma; permutation z polys ---------------------------------------------
     beta = transcript.squeeze_challenge()
@@ -178,6 +183,8 @@ def create_proof(
             g1.point_to_host(params.commit_lagrange(ld["z_dev"]))
         )
 
+    timer.mark("prove.grand_products")
+
     # ---- vanishing: random poly, y, quotient -------------------------------------------
     random_coeffs = rng.field_elements(n)
     random_poly = jnp.asarray(ints_to_mont_limbs(random_coeffs, FR_MOD))
@@ -211,6 +218,8 @@ def create_proof(
     h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(qd)]
     for piece in h_pieces:
         transcript.write_point(g1.point_to_host(params.commit(piece)))
+
+    timer.mark("prove.quotient")
 
     # ---- x and evaluations ------------------------------------------------------------
     x = transcript.squeeze_challenge()
@@ -304,12 +313,14 @@ def create_proof(
     queries.append(("h", h_combined, x, h_eval))
     queries.append(("random", random_poly, x, random_eval))
 
+    timer.mark("prove.evals")
     if scheme == "gwc":
         gwc.open_gwc(params, transcript, queries, k, dom.omega)
     elif scheme == "shplonk":
         shplonk.open_shplonk(params, transcript, queries, k, dom.omega)
     else:
         raise ValueError(f"unknown multiopen scheme {scheme}")
+    timer.mark("prove.multiopen")
 
     return transcript.finalize()
 

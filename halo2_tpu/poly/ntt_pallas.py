@@ -102,8 +102,11 @@ def _pass_body(x, ts, t, R: int, p16, n0inv):
         off = half - 1
         lo = [v.reshape(R // m, m, nb)[:, :half, :] for v in x]
         hi = [v.reshape(R // m, m, nb)[:, half:, :] for v in x]
-        tw = [v[off : off + half, :][None, :, :] for v in ts]  # [1, half, 1]
-        tt = fv._redc(fv._comba_columns(hi, tw), p16, n0inv)
+        if s == 1:
+            tt = hi  # stage-1 twiddle is omega^0 = 1: skip the multiply
+        else:
+            tw = [v[off : off + half, :][None, :, :] for v in ts]  # [1,half,1]
+            tt = fv._redc(fv._comba_columns(hi, tw), p16, n0inv)
         e = fv._add_body(lo, tt, p16)
         o = fv._sub_body(lo, tt, p16)
         x = [jnp.concatenate([a, b], axis=1).reshape(R, nb) for a, b in zip(e, o)]
