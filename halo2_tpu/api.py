@@ -45,8 +45,14 @@ def simulate_circuit(s: str, circuit: int) -> str:
     return poseidon_circuit.simulate_circuit(s)
 
 
-def _dispatch(s: str, circuit: int):
-    """(empty_circuit, filled_circuit, instances, scheme) for an index."""
+def _dispatch(s: str, circuit: int, for_verify: bool = False):
+    """(empty_circuit, filled_circuit, instances, scheme) for an index.
+
+    Poseidon quirk preserved from the reference: PROVE takes the public
+    input from the required "output" hex field (wasm.rs:116 — absent output
+    panics there, raises here); VERIFY ignores "output" and recomputes the
+    hash from the claimed message, which must be exactly L elements
+    (wasm.rs:154-168)."""
     if circuit == 0:
         return (
             collatz.empty_circuit(),
@@ -62,10 +68,21 @@ def _dispatch(s: str, circuit: int):
             [arithmetic.public_inputs(s)],
             "gwc",
         )
+    v = poseidon_circuit.parse_string(s)
+    if for_verify:
+        msg = list(v["x"])
+        if len(msg) != poseidon_circuit.WASM_L:
+            raise ValueError("poseidon verify needs exactly L message words")
+        instance = poseidon_circuit.poseidon_solution(msg)
+    else:
+        out = v.get("output")
+        if out is None:
+            raise ValueError("poseidon prove requires the 'output' hex field")
+        instance = int(out, 16) % poseidon_circuit.FR_MOD
     return (
         poseidon_circuit.empty_circuit(),
         poseidon_circuit.create_circuit_from_string(s),
-        [[poseidon_circuit.expected_output_from_string(s)]],
+        [[instance]],
         "gwc",
     )
 
@@ -102,7 +119,7 @@ def verify_proof(params_bytes: bytes, proof: bytes, s: str, circuit: int) -> boo
     """reference: wasm.rs:125-179 — NEVER raises for an invalid proof."""
     try:
         params = _cached_params(bytes(params_bytes))
-        empty, _filled, instances, scheme = _dispatch(s, circuit)
+        empty, _filled, instances, scheme = _dispatch(s, circuit, for_verify=True)
         pk = _keys(params, bytes(params_bytes), circuit, empty)
         return _verify_proof(params, pk.vk, bytes(proof), instances, scheme=scheme)
     except Exception:

@@ -42,6 +42,53 @@ class VerifyingKey:
     transcript_repr: int
     usable_row: int  # u = n - (blinding_factors + 1)
 
+    def write(self) -> bytes:
+        """Serialize to bytes (checkpoint subsystem, SURVEY.md §5).
+
+        Like halo2's VerifyingKey::read, deserialization needs the circuit
+        (the ConstraintSystem is structural, not serialized): pass the same
+        witness-free circuit to `VerifyingKey.read`."""
+        out = bytearray()
+        out += b"h2tpuVK1"
+        out += self.k.to_bytes(4, "little")
+        for group in (self.fixed_commitments, self.permutation_commitments):
+            out += len(group).to_bytes(4, "little")
+            for pt in group:
+                out += ec_host.g1_to_uncompressed(pt)
+        return bytes(out)
+
+    @staticmethod
+    def read(data: bytes, circuit) -> "VerifyingKey":
+        if data[:8] != b"h2tpuVK1":
+            raise ValueError("bad vk magic")
+        k = int.from_bytes(data[8:12], "little")
+        pos = 12
+        groups = []
+        for _ in range(2):
+            count = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            pts = []
+            for _ in range(count):
+                pts.append(ec_host.g1_from_uncompressed(data[pos : pos + 64]))
+                pos += 64
+            groups.append(pts)
+        cs = ConstraintSystem()
+        type(circuit).configure(cs)
+        cs.finalize()
+        dom = get_domain(k, cs.degree() - 1)
+        u = (1 << k) - (cs.blinding_factors() + 1)
+        vk = VerifyingKey(
+            k=k,
+            cs=cs,
+            domain=dom,
+            fixed_commitments=groups[0],
+            permutation_commitments=groups[1],
+            transcript_repr=0,
+            usable_row=u,
+        )
+        vk.transcript_repr = _hash_vk(k, cs, groups[0], groups[1])
+        return vk
+
 
 @dataclass(eq=False)
 class ProvingKey:

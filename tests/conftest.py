@@ -31,3 +31,18 @@ enable_compilation_cache()
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0xBA5EBA11)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA:CPU compiler segfaults partway through the suite after many
+    accumulated compilations (crash inside backend_compile_and_load; the same
+    test passes in isolation).  Dropping compiled programs between modules
+    works around it."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -16,9 +16,13 @@ from halo2_tpu import api
 @pytest.mark.slow
 def test_poseidon_e2e_api():
     params = api.setup(7, seed=b"slow-poseidon")
-    s = json.dumps({"x": [1, 2]})
+    # the reference requires the output hex for PROVE (wasm.rs:116); the UI
+    # gets it from simulate
+    out_hex = api.simulate_circuit(json.dumps({"x": [1, 2]}), 2)
+    s = json.dumps({"x": [1, 2], "output": out_hex})
     proof = api.generate_proof(params, s, 2, rng_seed=b"p")
     assert api.verify_proof(params, proof, s, 2)
+    # verify recomputes the hash from the claimed message (wasm.rs:154-168)
     wrong = json.dumps({"x": [1, 3]})
     assert api.verify_proof(params, proof, wrong, 2) is False
 
