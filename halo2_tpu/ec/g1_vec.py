@@ -252,6 +252,81 @@ def vpadd_fused(P, Q):
     return tuple(out)
 
 
+def _padd_mixed_body(p, q_xy, p16, n0inv):
+    """Jacobian += affine (Z2 = 1): 11 mul/sqr vs the full add's 16.
+
+    q is never the identity (MSM inputs are real curve points); p may be
+    (prefix could sum to O) and p == q / p == -q are handled like the full
+    add."""
+    L = fv.L
+    (X1, Y1, Z1) = p
+    (X2, Y2) = q_xy
+
+    def mul(a, b):
+        return fv._redc(fv._comba_columns(a, b), p16, n0inv)
+
+    def add(a, b):
+        return fv._add_body(a, b, p16)
+
+    def sub(a, b):
+        return fv._sub_body(a, b, p16)
+
+    def is_zero(a):
+        acc = a[0]
+        for v in a[1:]:
+            acc = acc | v
+        return acc == 0
+
+    def select(cond, a, b):
+        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+    Z1Z1 = mul(Z1, Z1)
+    U2 = mul(X2, Z1Z1)
+    S2 = mul(Y2, mul(Z1, Z1Z1))
+    H = sub(U2, X1)
+    r = sub(S2, Y1)
+    HH = mul(H, H)
+    HHH = mul(H, HH)
+    V = mul(X1, HH)
+    X3 = sub(sub(mul(r, r), HHH), add(V, V))
+    Y3 = sub(mul(r, sub(V, X3)), mul(Y1, HHH))
+    Z3 = mul(Z1, H)
+
+    # doubling branch on the AFFINE q (p == q case)
+    A = mul(X2, X2)
+    B = mul(Y2, Y2)
+    C = mul(B, B)
+    t = sub(mul(add(X2, B), add(X2, B)), add(A, C))
+    D = add(t, t)
+    E = add(add(A, A), A)
+    F = mul(E, E)
+    Xd = sub(F, add(D, D))
+    c2 = add(C, C)
+    c4 = add(c2, c2)
+    c8 = add(c4, c4)
+    Yd = sub(mul(E, sub(D, Xd)), c8)
+    Zd = add(Y2, Y2)
+
+    p_inf = is_zero(Z1)
+    h_zero = is_zero(H)
+    r_zero = is_zero(r)
+    finite = jnp.logical_not(p_inf)
+    same = jnp.logical_and(jnp.logical_and(h_zero, r_zero), finite)
+    opp = jnp.logical_and(
+        jnp.logical_and(h_zero, jnp.logical_not(r_zero)), finite
+    )
+
+    one_list = [jnp.full_like(X1[0], _ONE16[i]) for i in range(L)]
+    ident = [one_list, one_list, [jnp.zeros_like(X1[0]) for _ in range(L)]]
+    q_jac = [list(X2), list(Y2), one_list]
+    out = [X3, Y3, Z3]
+    dbl = [Xd, Yd, Zd]
+    out = [select(same, d, o) for d, o in zip(dbl, out)]
+    out = [select(opp, i, o) for i, o in zip(ident, out)]
+    out = [select(p_inf, b, o) for b, o in zip(q_jac, out)]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # chained local scan: the MSM bucket-accumulation workhorse.
 #
@@ -265,15 +340,17 @@ SCAN_CHUNK = 32
 
 
 @functools.lru_cache(maxsize=None)
-def _local_scan_call(chunk: int, rows: int, lanes: int):
+def _local_scan_call(chunk: int, rows: int, lanes: int, mixed: bool = False):
     """Inclusive per-chain scan + writes prefixes in place; block
-    [16, chunk*8, 128]."""
+    [16, chunk*8, 128].  mixed=True: inputs are AFFINE (x, y only, Z = 1
+    implied — the MSM's sorted points), using the cheaper mixed add."""
     p16, n0inv = fv._field_consts(FQ)
     L = fv.L
+    n_in = 2 if mixed else 3
 
-    def kernel(x1, y1, z1, ox, oy, oz):
-        refs_in = (x1, y1, z1)
-        refs_out = (ox, oy, oz)
+    def kernel(*refs):
+        refs_in = refs[:n_in]
+        refs_out = refs[n_in:]
 
         def read(r):
             off = pl.multiple_of(r * 8, 8)
@@ -288,14 +365,24 @@ def _local_scan_call(chunk: int, rows: int, lanes: int):
                 for i in range(L):
                     ref[i, pl.ds(off, 8), :] = coord[i]
 
-        acc0 = read(0)
+        first = read(0)
+        if mixed:
+            one = jnp.stack(
+                [jnp.full_like(first[0][0], _ONE16[i]) for i in range(L)]
+            )
+            acc0 = (first[0], first[1], one)
+        else:
+            acc0 = first
         write(0, acc0)
 
         def body(r, acc):
             cur = read(r)
             p = tuple([c[i] for i in range(L)] for c in acc)
             q = tuple([c[i] for i in range(L)] for c in cur)
-            out = _padd_body_lists(p, q, p16, n0inv)
+            if mixed:
+                out = _padd_mixed_body(p, q, p16, n0inv)
+            else:
+                out = _padd_body_lists(p, q, p16, n0inv)
             nxt = tuple(jnp.stack(c) for c in out)
             write(r, nxt)
             return nxt
@@ -310,7 +397,7 @@ def _local_scan_call(chunk: int, rows: int, lanes: int):
         kernel,
         out_shape=(shape, shape, shape),
         grid=(lanes // 128,),
-        in_specs=[bs] * 3,
+        in_specs=[bs] * n_in,
         out_specs=(bs, bs, bs),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,

@@ -125,15 +125,24 @@ def _chained_pos(e, m: int):
     return (r * 8 + s) * lanes + (j * 128 + l)
 
 
+def _with_ones_z(P, m: int):
+    """(x, y) affine tuple -> (x, y, z=1) for the portable fallbacks."""
+    if len(P) == 3:
+        return P
+    one = jnp.asarray(gv._ONE_COL.reshape(16))
+    return (P[0], P[1], jnp.broadcast_to(one[:, None], (16, m)))
+
+
 def _local_scan(P, m: int):
     """Chained local scan: returns (pref_chained tuple, chain_offsets flat
-    [16, chains] exclusive).  m % (CHUNK*1024) == 0 required."""
+    [16, chains] exclusive).  m % (CHUNK*1024) == 0 required.  P may be an
+    affine (x, y) pair — the kernel then uses the cheaper mixed add."""
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
     nblocks = chains // 1024
     rows, lanes = CHUNK * 8, nblocks * 128
     xc = tuple(_to_chained(a, m) for a in P)
-    pref = gv._local_scan_call(CHUNK, rows, lanes)(*xc)
+    pref = gv._local_scan_call(CHUNK, rows, lanes, mixed=len(P) == 2)(*xc)
     tot = tuple(a[:, (CHUNK - 1) * 8 :, :] for a in pref)  # [16, 8, lanes]
     tot_flat = tuple(
         a.reshape(16, 8, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
@@ -154,7 +163,7 @@ def _chained_prefix_scan(P, m: int):
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
     if fv._interpret() or m % CHUNK or chains % 1024:
-        return _prefix_scan(P, m)
+        return _prefix_scan(_with_ones_z(P, m), m)
     nblocks = chains // 1024
     rows, lanes = CHUNK * 8, nblocks * 128
     pref, offs = _local_scan(P, m)
@@ -174,7 +183,7 @@ def _prefix_at(P, m: int, idx):
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
     if fv._interpret() or m % CHUNK or chains % 1024:
-        full = _prefix_scan(P, m)
+        full = _prefix_scan(_with_ones_z(P, m), m)
         return tuple(jnp.take(a, idx, axis=1) for a in full)
     pref, offs = _local_scan(P, m)
     pos = _chained_pos(idx, m)
@@ -238,23 +247,32 @@ def _msm_window_partials(PX, PY, scalars, c: int):
     digits_all = _digits(scalars, c)
     one = jnp.asarray(gv._ONE_COL.reshape(16))
     PXY = jnp.concatenate([PX, PY], axis=1)  # [n, 32]: one gather per window
+    # XLA's row gather is ~2x faster on a u16 view of the same bytes
+    PXY16 = jax.lax.bitcast_convert_type(PXY, jnp.uint16).reshape(n, 64)
+
+    assert c <= 16, "digits must fit u16 (sort keys)"
 
     def one_window(carry, d):
-        order = jnp.argsort(d)
-        sd = d[order]
-        XY = jnp.take(PXY, order, axis=0)  # [n, 32] coalesced gather
+        # u16 keys sort ~2.5x faster than argsort on i32
+        sd, order = jax.lax.sort(
+            (d.astype(jnp.uint16), jax.lax.iota(jnp.int32, n)), num_keys=1
+        )
+        XY16 = jnp.take(PXY16, order, axis=0)  # [n, 64] u16 rows
+        XY = jax.lax.bitcast_convert_type(
+            XY16.reshape(n, 32, 2), jnp.uint32
+        )  # [n, 32]
         Xf = jnp.transpose(XY[:, :16], (1, 0))  # [16, n]
         Yf = jnp.transpose(XY[:, 16:], (1, 0))
-        Zf = jnp.broadcast_to(one[:, None], (16, n))
 
         # T[v] = prefix at last index with digit <= v (identity if none) —
-        # gathered from local prefixes + per-chain offsets, no full prefix
+        # gathered from local prefixes + per-chain offsets, no full prefix;
+        # affine (x, y) input selects the mixed-add scan kernel
         tails = (
-            jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.int32), side="right")
+            jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.uint16), side="right")
             - 1
         )
         safe = jnp.clip(tails, 0, n - 1)
-        T = _prefix_at((Xf, Yf, Zf), n, safe)  # [16, V]
+        T = _prefix_at((Xf, Yf), n, safe)  # [16, V]
         none_mask = (tails < 0)[None, :]
         T = (
             jnp.where(none_mask, one[:, None], T[0]),
