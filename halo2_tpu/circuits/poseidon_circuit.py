@@ -97,6 +97,20 @@ def create_circuit_from_string(s: str) -> PoseidonCircuit:
     return create_circuit(msg)
 
 
+def make_circuit_class(width: int, rate: int, length: int):
+    """Width-generic PoseidonCircuit variant (the reference's const generics
+    WIDTH/RATE/L — its native main.rs draws a WIDTH=12 RATE=11 L=11 layout,
+    main.rs:25-34, while WASM uses 3/2/2)."""
+    assert rate == width - 1
+
+    class _PoseidonCircuitW(PoseidonCircuit):
+        spec_params = (width, rate)
+        L = length
+
+    _PoseidonCircuitW.__name__ = f"PoseidonCircuitW{width}"
+    return _PoseidonCircuitW
+
+
 def poseidon_solution(message: list[int]) -> int:
     """Off-circuit hash (reference: wasm_poseidon_solution,
     poseidon_circuit.rs:292-299)."""

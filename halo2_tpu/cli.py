@@ -88,7 +88,15 @@ def cmd_draw(args) -> int:
     jobs = [
         ("arithmetic_circuit.svg", 4, arithmetic.empty_circuit(7)),
         ("collatz.svg", 10, collatz.create_circuit(collatz.collatz_conjecture(4))),
-        ("poseidon.svg", 6, poseidon_circuit.create_circuit([1, 2])),
+        # reference main.rs:25-34 draws WIDTH=12 RATE=11 L=11 at k=6 on a
+        # random message; fixed message here for deterministic output
+        (
+            "poseidon.svg",
+            6,
+            poseidon_circuit.make_circuit_class(12, 11, 11)(
+                [i + 1 for i in range(11)]
+            ),
+        ),
     ]
     for name, k, circuit in jobs:
         path = f"{args.out_dir}/{name}"

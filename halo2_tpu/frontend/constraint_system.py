@@ -5,9 +5,16 @@ Equivalent of the reference's external `halo2_proofs::plonk::ConstraintSystem`
 columns (the permutation argument), the constants column, and the query lists
 whose registration ORDER defines the transcript layout of evaluations.
 
-Divergence from halo2 (documented): simple selectors are NOT compressed into
-shared fixed columns at keygen — each selector becomes its own fixed column
-appended after the user fixed columns.  This affects vk bytes, not soundness.
+Selector compression follows halo2's keygen behavior (halo2_proofs
+plonk/circuit.rs `compress_selectors` + plonk/circuit/compress_selectors.rs
+`process`): after synthesis determines each selector's activation rows,
+disjoint *simple* selectors are packed into shared fixed columns — selector
+i in a combination of size m is encoded as column value root_i, and its
+occurrences are substituted with the degree-m expression
+`q * prod_{r != root_i} (r - q)` which vanishes off the selector's rows.
+Complex selectors (and simple selectors unused in gates) get their own 0/1
+fixed column.  The packing is degree-bounded by the pre-compression
+cs.degree() so the quotient degree never grows.
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ class Column:
 @dataclass(frozen=True)
 class Selector:
     index: int
+    is_simple: bool = True
 
     def __repr__(self):
         return f"selector[{self.index}]"
@@ -59,6 +67,7 @@ class ConstraintSystem:
         self.permutation_columns: list[Column] = []  # order of enable_equality
         self.constants_columns: list[Column] = []
         self.lookups: list = []  # (name, [(input_expr, table_expr)])
+        self.selector_simple: list[bool] = []
         self._finalized = False
 
     # ---- column allocation ---------------------------------------------------
@@ -79,11 +88,20 @@ class ConstraintSystem:
         return c
 
     def selector(self) -> Selector:
-        s = Selector(self.num_selectors)
+        """A *simple* selector: may only multiply a gate (never appear in a
+        sum) — eligible for compression into a shared fixed column."""
+        s = Selector(self.num_selectors, True)
         self.num_selectors += 1
+        self.selector_simple.append(True)
         return s
 
-    complex_selector = selector  # no compression, so they're identical here
+    def complex_selector(self) -> Selector:
+        """A selector usable in arbitrary expressions (e.g. lookup gating);
+        always materialized as its own 0/1 fixed column."""
+        s = Selector(self.num_selectors, False)
+        self.num_selectors += 1
+        self.selector_simple.append(False)
+        return s
 
     # ---- features ------------------------------------------------------------
 
@@ -149,30 +167,128 @@ class ConstraintSystem:
         assert pairs
         self.lookups.append((name, pairs))
 
-    # ---- finalization: selectors become fixed columns --------------------------
+    # ---- selector compression (post-synthesis) ---------------------------------
 
-    def finalize(self) -> None:
-        """Rewrite SelectorExpr nodes into fixed-column queries (one fresh
-        fixed column per selector, appended after user fixed columns)."""
-        if self._finalized:
-            return
+    def _selector_degrees(self) -> list[int]:
+        """Per selector: max degree of any gate poly containing it (0 if it
+        never appears in a gate — reference: halo2 plonk/circuit.rs keygen
+        degree scan; lookups are excluded like halo2, which only permits
+        complex selectors there)."""
+        degrees = [0] * self.num_selectors
+        for g in self.gates:
+            for p in g.polys:
+                found: set[int] = set()
+
+                def visit(e):
+                    if isinstance(e, SelectorExpr):
+                        found.add(e.selector_index)
+
+                p.traverse(visit)
+                if found:
+                    d = p.degree()
+                    for s in found:
+                        degrees[s] = max(degrees[s], d)
+        return degrees
+
+    def compress_selectors(self, selectors: list[list[int]]) -> list[list[int]]:
+        """Pack selector activation columns into fixed columns and substitute
+        every SelectorExpr occurrence; returns the new fixed columns' row
+        values (appended after the user fixed columns, in allocation order).
+
+        Mirrors halo2's `compress_selectors::process`: greedy first-fit over
+        selectors whose activations are pairwise disjoint, bounded so the
+        substituted gate degree never exceeds the pre-compression degree().
+        """
+        from .expression import Constant
+
+        assert not self._finalized, "compress_selectors called twice"
         self._finalized = True
-        self.selector_fixed_base = self.num_fixed
-        sel_query_idx = {}
-        for s in range(self.num_selectors):
-            col = Column(self.selector_fixed_base + s, "fixed")
-            sel_query_idx[s] = self._register(self.fixed_queries, col, 0)
-        self.num_fixed += self.num_selectors
+        assert len(selectors) == self.num_selectors
+        n = len(selectors[0]) if selectors else 0
+
+        degrees = self._selector_degrees()
+        max_degree = self.degree()  # pre-compression bound
+
+        combination_polys: list[list[int]] = []
+        replacements: list = [None] * self.num_selectors
+        # (selector_index, fixed_column_index, root): lets a later synthesis
+        # against this (compressed) cs refill the combination columns from
+        # fresh selector activations (the prover's host fixed view)
+        assignment_map: list[tuple[int, int, int]] = []
+
+        def alloc_query() -> FixedQuery:
+            col = self.fixed_column()
+            qidx = self._register(self.fixed_queries, col, 0)
+            return FixedQuery(qidx, col.index, 0)
+
+        # complex selectors and gate-unused simple selectors: own 0/1 column
+        packable: list[tuple[int, list[int], int]] = []  # (idx, acts, maxdeg)
+        for i in range(self.num_selectors):
+            acts = [1 if v else 0 for v in selectors[i]]
+            if degrees[i] == 0 or not self.selector_simple[i]:
+                q = alloc_query()
+                replacements[i] = q
+                combination_polys.append(acts)
+                assignment_map.append((i, q.column_index, 1))
+            else:
+                packable.append((i, acts, degrees[i]))
+
+        # exclusion matrix: selectors active on a shared row can't combine
+        m = len(packable)
+        excl = [[False] * m for _ in range(m)]
+        for a in range(m):
+            for b in range(a):
+                if any(
+                    x and y for x, y in zip(packable[a][1], packable[b][1])
+                ):
+                    excl[a][b] = excl[b][a] = True
+
+        added = [False] * m
+        for i in range(m):
+            if added[i]:
+                continue
+            added[i] = True
+            if packable[i][2] > max_degree:
+                raise ValueError("selector gate exceeds circuit degree bound")
+            d = packable[i][2] - 1
+            combination = [packable[i]]
+            combo_idx = [i]
+            for j in range(i + 1, m):
+                if d + len(combination) == max_degree:
+                    break  # no room for any further member
+                if added[j]:
+                    continue
+                if any(excl[j][x] for x in combo_idx):
+                    continue
+                new_d = max(d, packable[j][2] - 1)
+                if new_d + len(combination) + 1 > max_degree:
+                    continue
+                d = new_d
+                combination.append(packable[j])
+                combo_idx.append(j)
+                added[j] = True
+
+            q = alloc_query()
+            size = len(combination)
+            assignment = [0] * n
+            for root, (sidx, acts, _deg) in enumerate(combination, start=1):
+                # degree-`size` expression: zero unless the column holds root
+                expr: Expression = q
+                for other in range(1, size + 1):
+                    if other != root:
+                        expr = expr * (Constant(other) - q)
+                for row, a in enumerate(acts):
+                    if a:
+                        assignment[row] = root
+                replacements[sidx] = expr
+                assignment_map.append((sidx, q.column_index, root))
+            combination_polys.append(assignment)
 
         def rewrite(e: Expression) -> Expression:
             from .expression import Negated, Product, Scaled, Sum
 
             if isinstance(e, SelectorExpr):
-                return FixedQuery(
-                    sel_query_idx[e.selector_index],
-                    self.selector_fixed_base + e.selector_index,
-                    0,
-                )
+                return replacements[e.selector_index]
             if isinstance(e, Sum):
                 return Sum(rewrite(e.a), rewrite(e.b))
             if isinstance(e, Product):
@@ -189,6 +305,9 @@ class ConstraintSystem:
             (name, [(rewrite(i), rewrite(t)) for (i, t) in pairs])
             for (name, pairs) in self.lookups
         ]
+        self.selector_replacements = replacements
+        self.selector_assignment = assignment_map
+        return combination_polys
 
     # ---- derived quantities ------------------------------------------------------
 

@@ -51,7 +51,6 @@ class Assignment:
         self.n = 1 << k
         n = self.n
         self.advice = [[None] * n for _ in range(cs.num_advice)]
-        # fixed includes the selector columns appended at finalize()
         self.fixed = [[0] * n for _ in range(cs.num_fixed)]
         self.selectors = [[0] * n for _ in range(cs.num_selectors)]
         self.instances = instances or [[] for _ in range(cs.num_instance)]
@@ -65,11 +64,6 @@ class Assignment:
         vals = self.instances[col]
         return vals[row] % FR_MOD if row < len(vals) else 0
 
-    def selectors_into_fixed(self) -> None:
-        """Write selector assignments into their dedicated fixed columns."""
-        base = self.cs.selector_fixed_base
-        for s in range(self.cs.num_selectors):
-            self.fixed[base + s] = [1 if v else 0 for v in self.selectors[s]]
 
 
 class _RegionShape:
@@ -244,5 +238,12 @@ def synthesize(circuit, cs: ConstraintSystem, config, k: int, instances=None) ->
     asg = Assignment(cs, k, instances)
     layouter = SimpleLayouter(cs, asg)
     circuit.synthesize(config, layouter)
-    asg.selectors_into_fixed()
+    # synthesizing against an already-compressed cs (the prover's path):
+    # refill the selector combination columns so host-side expression
+    # evaluation (e.g. lookup witness generation) sees the keygen values
+    for (sidx, col, root) in getattr(cs, "selector_assignment", ()):
+        vals = asg.fixed[col]
+        for row, v in enumerate(asg.selectors[sidx]):
+            if v:
+                vals[row] = root
     return asg

@@ -32,9 +32,10 @@ class MockProver:
 
     @staticmethod
     def run(k: int, circuit, instances=None) -> "MockProver":
+        # like halo2's MockProver: selectors are evaluated directly from
+        # their activation rows, never compressed into fixed columns
         cs = ConstraintSystem()
         config = type(circuit).configure(cs)
-        cs.finalize()
         asg = synthesize(circuit, cs, config, k, instances=instances or [])
         return MockProver(cs, asg)
 
@@ -71,9 +72,9 @@ class MockProver:
                         instance=lambda q, r=row: self.asg.instance_value(
                             q.column_index, (r + q.rotation) % n
                         ),
-                        selector=lambda q: (_ for _ in ()).throw(
-                            AssertionError("selectors must be finalized")
-                        ),
+                        selector=lambda q, r=row: self.asg.selectors[
+                            q.selector_index
+                        ][r],
                         add=lambda a, b: (a + b) % FR_MOD,
                         mul=lambda a, b: (a * b) % FR_MOD,
                         neg=lambda a: (-a) % FR_MOD,
@@ -102,9 +103,9 @@ class MockProver:
                     instance=lambda q, r=row: self.asg.instance_value(
                         q.column_index, (r + q.rotation) % n
                     ),
-                    selector=lambda q: (_ for _ in ()).throw(
-                        AssertionError("selectors must be finalized")
-                    ),
+                    selector=lambda q, r=row: self.asg.selectors[
+                        q.selector_index
+                    ][r],
                     add=lambda a, b: (a + b) % FR_MOD,
                     mul=lambda a, b: (a * b) % FR_MOD,
                     neg=lambda a: (-a) % FR_MOD,

@@ -73,8 +73,11 @@ class VerifyingKey:
                 pos += 64
             groups.append(pts)
         cs = ConstraintSystem()
-        type(circuit).configure(cs)
-        cs.finalize()
+        config = type(circuit).configure(cs)
+        # selector compression depends on activation rows: re-synthesize the
+        # witness-free circuit exactly like keygen (deterministic)
+        asg = synthesize(circuit, cs, config, k, instances=None)
+        cs.compress_selectors(asg.selectors)
         dom = get_domain(k, cs.degree() - 1)
         u = (1 << k) - (cs.blinding_factors() + 1)
         vk = VerifyingKey(
@@ -135,11 +138,13 @@ def keygen(params: ParamsKZG, circuit) -> ProvingKey:
     n = 1 << k
     cs = ConstraintSystem()
     config = type(circuit).configure(cs)
-    cs.finalize()
-    degree = cs.degree()
-    dom = get_domain(k, degree - 1)
 
     asg = synthesize(circuit, cs, config, k, instances=None)
+    # halo2 keygen_vk: pack selector activations into fixed columns and
+    # substitute their gate occurrences, THEN fix the quotient degree
+    selector_polys = cs.compress_selectors(asg.selectors)
+    degree = cs.degree()
+    dom = get_domain(k, degree - 1)
     bf = cs.blinding_factors()
     u = n - (bf + 1)
     if asg.max_row_touched >= u:
@@ -148,10 +153,11 @@ def keygen(params: ParamsKZG, circuit) -> ProvingKey:
             f"usable at k={k} (blinding takes {bf + 1})"
         )
 
-    # ---- fixed columns (selectors already merged) ------------------------------
+    # ---- fixed columns + compressed-selector combination columns -----------------
+    fixed_cols = list(asg.fixed) + selector_polys
     fixed_lagrange = jnp.asarray(
-        np.stack([ints_to_mont_limbs(col, FR_MOD) for col in asg.fixed])
-        if asg.fixed
+        np.stack([ints_to_mont_limbs(col, FR_MOD) for col in fixed_cols])
+        if fixed_cols
         else np.zeros((0, n, 16), np.uint32)
     )
     fixed_coeff = dom.lagrange_to_coeff(fixed_lagrange)

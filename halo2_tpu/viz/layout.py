@@ -31,8 +31,8 @@ REGION_EDGE = "#38761d"
 
 
 def _column_order(cs: ConstraintSystem):
-    """Instance | advice | fixed (incl. selector fixed columns) — halo2's
-    CircuitLayout ordering."""
+    """Instance | advice | fixed | selectors — halo2's CircuitLayout renders
+    the pre-compression view, selectors as their own (blue) columns."""
     cols = []
     for i in range(cs.num_instance):
         cols.append(("instance", i))
@@ -40,6 +40,8 @@ def _column_order(cs: ConstraintSystem):
         cols.append(("advice", i))
     for i in range(cs.num_fixed):
         cols.append(("fixed", i))
+    for i in range(cs.num_selectors):
+        cols.append(("selector", i))
     return cols
 
 
@@ -47,7 +49,6 @@ def render_layout(k: int, circuit, path: str, max_rows: int | None = None) -> st
     """Synthesize `circuit` at 2^k rows and write an SVG; returns the SVG."""
     cs = ConstraintSystem()
     config = type(circuit).configure(cs)
-    cs.finalize()
     asg = synthesize(circuit, cs, config, k)
 
     n = 1 << k
@@ -66,12 +67,22 @@ def render_layout(k: int, circuit, path: str, max_rows: int | None = None) -> st
     # column bands + headers
     for kind, idx in cols:
         x = col_x[(kind, idx)]
-        fill = {"advice": ADVICE_FILL, "fixed": FIXED_FILL, "instance": INSTANCE_FILL}[kind]
+        fill = {
+            "advice": ADVICE_FILL,
+            "fixed": FIXED_FILL,
+            "selector": FIXED_FILL,
+            "instance": INSTANCE_FILL,
+        }[kind]
         out.append(
             f'<rect x="{x}" y="{LABEL_H}" width="{CELL_W - 1}" '
             f'height="{rows * CELL_H}" fill="{fill}" stroke="#999" stroke-width="0.5"/>'
         )
-        label = {"advice": "a", "fixed": "f", "instance": "i"}[kind] + str(idx)
+        label = {
+            "advice": "a",
+            "fixed": "f",
+            "selector": "s",
+            "instance": "i",
+        }[kind] + str(idx)
         out.append(
             f'<text x="{x + CELL_W // 2}" y="{LABEL_H - 6}" font-size="9" '
             f'text-anchor="middle" font-family="monospace">{label}</text>'
@@ -94,6 +105,10 @@ def render_layout(k: int, circuit, path: str, max_rows: int | None = None) -> st
         for r in range(rows):
             if col[r]:
                 cell("fixed", i, r, FIXED_USED)
+    for i, col in enumerate(asg.selectors):
+        for r in range(rows):
+            if col[r]:
+                cell("selector", i, r, FIXED_USED)
     for i, vals in enumerate(asg.instances):
         for r in range(min(len(vals), rows)):
             cell("instance", i, r, INSTANCE_USED)
@@ -103,8 +118,8 @@ def render_layout(k: int, circuit, path: str, max_rows: int | None = None) -> st
         xs = []
         for c in rcols:
             kind = getattr(c, "kind", None)
-            if kind is None:  # Selector -> its dedicated fixed column
-                key = ("fixed", cs.selector_fixed_base + c.index)
+            if kind is None:  # Selector -> its own rendered column
+                key = ("selector", c.index)
             else:
                 key = (kind, c.index)
             if key in col_x:

@@ -82,3 +82,15 @@ def test_poseidon_mock_wrong_output_fails():
     circuit = pc.create_circuit(msg)
     failures = MockProver.run(7, circuit, instances=[[out]]).verify()
     assert failures
+
+
+def test_poseidon_mock_width12_satisfied():
+    # reference main.rs:25-34 instantiates WIDTH=12 RATE=11 L=11 at k=6
+    from halo2_tpu.circuits import poseidon_circuit as pc
+    from halo2_tpu.hashes.poseidon import PoseidonSpec, hash_constant_length
+
+    msg = [i + 1 for i in range(11)]
+    spec = PoseidonSpec.make(12, 11)
+    out = hash_constant_length(spec, msg)
+    circuit = pc.make_circuit_class(12, 11, 11)(msg)
+    MockProver.run(6, circuit, instances=[[out]]).assert_satisfied()

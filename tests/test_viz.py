@@ -26,7 +26,6 @@ def test_regions_recorded():
     circuit = arithmetic.create_circuit(3, 4, 7)
     cs = ConstraintSystem()
     config = type(circuit).configure(cs)
-    cs.finalize()
     asg = synthesize(circuit, cs, config, 4)
     assert asg.regions, "layouter must record region metadata for the viz"
     name, start, row_count, cols = asg.regions[0]
