@@ -330,19 +330,24 @@ def _padd_mixed_body(p, q_xy, p16, n0inv):
 # ---------------------------------------------------------------------------
 # chained local scan: the MSM bucket-accumulation workhorse.
 #
-# Layout: [16, CHUNK*8, 128*nblocks] where chain c = (j*8 + s)*128 + l owns
-# ranks c*CHUNK + r at position [:, r*8 + s, j*128 + l].  Each grid step
-# scans CHUNK ranks for 1024 chains entirely in VMEM — no HBM glue between
-# scan levels (the failure mode of the pairwise-recursion scan).
+# Layout ("chained", sublane width SUB): [16, CHUNK*SUB, 128*nblocks] where
+# chain c = (j*SUB + s)*128 + l owns ranks c*CHUNK + r at position
+# [:, r*SUB + s, j*128 + l].  Each grid step scans CHUNK ranks for SUB*128
+# chains entirely in VMEM — no HBM glue between scan levels (the failure
+# mode of the pairwise-recursion scan).  Wider SUB = more vregs of
+# independent work inside the serial rank loop (better VPU utilization).
 # ---------------------------------------------------------------------------
 
 SCAN_CHUNK = 32
+SCAN_SUB = 32  # sublane rows per rank slice at the top level (8 for smaller)
 
 
 @functools.lru_cache(maxsize=None)
-def _local_scan_call(chunk: int, rows: int, lanes: int, mixed: bool = False):
+def _local_scan_call(
+    chunk: int, rows: int, lanes: int, mixed: bool = False, sub: int = 8
+):
     """Inclusive per-chain scan + writes prefixes in place; block
-    [16, chunk*8, 128].  mixed=True: inputs are AFFINE (x, y only, Z = 1
+    [16, chunk*sub, 128].  mixed=True: inputs are AFFINE (x, y only, Z = 1
     implied — the MSM's sorted points), using the cheaper mixed add."""
     p16, n0inv = fv._field_consts(FQ)
     L = fv.L
@@ -353,17 +358,17 @@ def _local_scan_call(chunk: int, rows: int, lanes: int, mixed: bool = False):
         refs_out = refs[n_in:]
 
         def read(r):
-            off = pl.multiple_of(r * 8, 8)
+            off = pl.multiple_of(r * sub, sub)
             return tuple(
-                jnp.stack([ref[i, pl.ds(off, 8), :] for i in range(L)])
+                jnp.stack([ref[i, pl.ds(off, sub), :] for i in range(L)])
                 for ref in refs_in
             )
 
         def write(r, acc):
-            off = pl.multiple_of(r * 8, 8)
+            off = pl.multiple_of(r * sub, sub)
             for ref, coord in zip(refs_out, acc):
                 for i in range(L):
-                    ref[i, pl.ds(off, 8), :] = coord[i]
+                    ref[i, pl.ds(off, sub), :] = coord[i]
 
         first = read(0)
         if mixed:
@@ -390,7 +395,7 @@ def _local_scan_call(chunk: int, rows: int, lanes: int, mixed: bool = False):
         jax.lax.fori_loop(1, chunk, body, acc0)
 
     bs = pl.BlockSpec(
-        (L, chunk * 8, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+        (L, chunk * sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
     )
     shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
     return pl.pallas_call(
@@ -406,9 +411,9 @@ def _local_scan_call(chunk: int, rows: int, lanes: int, mixed: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _offset_add_call(chunk: int, rows: int, lanes: int):
-    """out[:, r*8+s, :] = padd(x[:, r*8+s, :], off[:, s, :]) for every r —
-    adds each chain's exclusive offset to its local prefixes."""
+def _offset_add_call(chunk: int, rows: int, lanes: int, sub: int = 8):
+    """out[:, r*sub+s, :] = padd(x[:, r*sub+s, :], off[:, s, :]) for every
+    r — adds each chain's exclusive offset to its local prefixes."""
     p16, n0inv = fv._field_consts(FQ)
     L = fv.L
 
@@ -416,25 +421,25 @@ def _offset_add_call(chunk: int, rows: int, lanes: int):
         off = tuple([ref[i] for i in range(L)] for ref in (fx, fy, fz))
 
         def body(r, _):
-            o8 = pl.multiple_of(r * 8, 8)
+            o8 = pl.multiple_of(r * sub, sub)
             cur = tuple(
-                [ref[i, pl.ds(o8, 8), :] for i in range(L)]
+                [ref[i, pl.ds(o8, sub), :] for i in range(L)]
                 for ref in (x1, y1, z1)
             )
             res = _padd_body_lists(off, cur, p16, n0inv)
             for ref, coord in zip((ox, oy, oz), res):
                 for i in range(L):
-                    ref[i, pl.ds(o8, 8), :] = coord[i]
+                    ref[i, pl.ds(o8, sub), :] = coord[i]
             return 0
 
         jax.lax.fori_loop(0, chunk, body, 0)
 
     bs = pl.BlockSpec(
-        (L, chunk * 8, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+        (L, chunk * sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
     )
-    bs_off = pl.BlockSpec((L, 8, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
+    bs_off = pl.BlockSpec((L, sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
-    off_shape = jax.ShapeDtypeStruct((L, 8, lanes), jnp.uint32)
+    off_shape = jax.ShapeDtypeStruct((L, sub, lanes), jnp.uint32)
     return pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape),
@@ -445,3 +450,154 @@ def _offset_add_call(chunk: int, rows: int, lanes: int):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# single-block butterfly kernels: reduce / scan over <= 64K points with NO
+# inter-kernel glue.  These replace the pairwise-recursion tails of the MSM
+# (the per-window dispatch storm: ~300 composed-primitive XLA ops for the
+# 2^16-bucket sum and the chain-offset scan).
+# ---------------------------------------------------------------------------
+
+
+def _jac_padd_wrap(P, Q, p16, n0inv):
+    """_padd_body_lists over (x, y, z) tuples of limb lists."""
+    out = _padd_body_lists(tuple(P), tuple(Q), p16, n0inv)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_reduce_call(rows: int):
+    """Sum of rows*128 Jacobian points in ONE kernel: halve the sublane axis
+    until 8 rows remain, then circular-roll butterflies over sublanes and
+    lanes (every position ends holding the total).  Input/output
+    [16, rows, 128] coordinate triples; identity is Z == 0 padding."""
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(x, y, z, ox, oy, oz):
+        P = tuple([ref[i] for i in range(L)] for ref in (x, y, z))
+        r = rows
+        while r > 8:
+            half = r // 2
+            lo = tuple([c[:half] for c in coord] for coord in P)
+            hi = tuple([c[half:r] for c in coord] for coord in P)
+            P = _jac_padd_wrap(lo, hi, p16, n0inv)
+            r = half
+        for axis, shifts in ((0, (4, 2, 1)), (1, (64, 32, 16, 8, 4, 2, 1))):
+            for s in shifts:
+                Q = tuple(
+                    [pltpu.roll(c, shift=s, axis=axis) for c in coord]
+                    for coord in P
+                )
+                P = _jac_padd_wrap(P, Q, p16, n0inv)
+        for ref, coord in zip((ox, oy, oz), P):
+            for i in range(L):
+                ref[i] = coord[i]
+
+    bs_in = pl.BlockSpec(
+        (fv.L, rows, fv.LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bs_out = pl.BlockSpec(
+        (fv.L, 8, fv.LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape_out = jax.ShapeDtypeStruct((fv.L, 8, fv.LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape_out, shape_out, shape_out),
+        in_specs=[bs_in] * 3,
+        out_specs=(bs_out, bs_out, bs_out),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+
+BLOCK_REDUCE_MAX = 512 * fv.LANES  # 64K points in one kernel
+
+
+def block_reduce(P, m: int):
+    """Sum m Jacobian points (flat [16, m] coords, m <= BLOCK_REDUCE_MAX);
+    returns flat [16, 1].  Zero (identity) padding."""
+    rows = max(8, -(-m // fv.LANES))
+    rows = 1 << (rows - 1).bit_length()  # power of two for clean halving
+    pad = rows * fv.LANES - m
+    coords = tuple(
+        jnp.pad(a, ((0, 0), (0, pad))).reshape(16, rows, fv.LANES) for a in P
+    )
+    out = _block_reduce_call(rows)(*coords)
+    return tuple(a.reshape(16, -1)[:, :1] for a in out)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_scan_call():
+    """Inclusive Jacobian prefix scan of 1024 points ([16, 8, 128], order
+    pos = row*128 + lane) in ONE kernel: Hillis-Steele over lanes, then
+    sublane offsets."""
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def masked_step(P, axis, s, idx):
+        Q = tuple(
+            [pltpu.roll(c, shift=s, axis=axis) for c in coord] for coord in P
+        )
+        S = _jac_padd_wrap(P, Q, p16, n0inv)
+        keep = idx >= s
+        return tuple(
+            [jnp.where(keep, a, b) for a, b in zip(cs, cp)]
+            for cs, cp in zip(S, P)
+        )
+
+    def kernel(x, y, z, ox, oy, oz):
+        P = tuple([ref[i] for i in range(L)] for ref in (x, y, z))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, fv.LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, fv.LANES), 0)
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            P = masked_step(P, 1, s, lane)
+        # per-row totals (lane 127), scanned over rows, shifted exclusive
+        tot = tuple(
+            [jnp.broadcast_to(c[:, 127:128], (8, fv.LANES)) for c in coord]
+            for coord in P
+        )
+        for s in (1, 2, 4):
+            tot = masked_step(tot, 0, s, row)
+        excl = tuple(
+            [pltpu.roll(c, shift=1, axis=0) for c in coord] for coord in tot
+        )
+        first = row == 0
+        one = jnp.full((8, fv.LANES), 0, dtype=jnp.uint32)
+        ident = (
+            [jnp.full((8, fv.LANES), _ONE16[i]) for i in range(L)],
+            [jnp.full((8, fv.LANES), _ONE16[i]) for i in range(L)],
+            [one for _ in range(L)],
+        )
+        excl = tuple(
+            [jnp.where(first, a, b) for a, b in zip(ci, ce)]
+            for ci, ce in zip(ident, excl)
+        )
+        out = _jac_padd_wrap(excl, P, p16, n0inv)
+        for ref, coord in zip((ox, oy, oz), out):
+            for i in range(L):
+                ref[i] = coord[i]
+
+    bs = pl.BlockSpec(
+        (fv.L, 8, fv.LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((fv.L, 8, fv.LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        in_specs=[bs] * 3,
+        out_specs=(bs, bs, bs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+
+def block_scan_1024(P):
+    """Inclusive prefix scan of exactly 1024 Jacobian points, flat [16, 1024]
+    coords (rank = position); returns the same shape."""
+    coords = tuple(a.reshape(16, 8, fv.LANES) for a in P)
+    out = _block_scan_call()(*coords)
+    return tuple(a.reshape(16, 1024) for a in out)

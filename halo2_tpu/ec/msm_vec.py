@@ -96,33 +96,41 @@ def _prefix_scan(P, m: int):
     return tuple(out)
 
 
-def _to_chained(a, m: int):
-    """[16, m] rank-major -> [16, CHUNK*8, lanes] chained layout (chain
-    c = j*1024 + s*128 + l owns ranks c*CHUNK + r at [:, r*8+s, j*128+l])."""
-    CHUNK = gv.SCAN_CHUNK
-    nblocks = m // CHUNK // 1024
-    x = a.reshape(16, nblocks, 8, 128, CHUNK)  # [16, j, s, l, r]
-    return x.transpose(0, 4, 2, 1, 3).reshape(16, CHUNK * 8, nblocks * 128)
+def _pick_sub(chains: int) -> int:
+    """Widest supported sublane slice for this chain count."""
+    if chains % (gv.SCAN_SUB * 128) == 0:
+        return gv.SCAN_SUB
+    return 8
 
 
-def _from_chained(a, m: int):
+def _to_chained(a, m: int, sub: int):
+    """[16, m] rank-major -> [16, CHUNK*sub, lanes] chained layout (chain
+    c = j*(sub*128) + s*128 + l owns ranks c*CHUNK + r at
+    [:, r*sub+s, j*128+l])."""
     CHUNK = gv.SCAN_CHUNK
-    nblocks = m // CHUNK // 1024
-    x = a.reshape(16, CHUNK, 8, nblocks, 128)  # [16, r, s, j, l]
+    nblocks = m // CHUNK // (sub * 128)
+    x = a.reshape(16, nblocks, sub, 128, CHUNK)  # [16, j, s, l, r]
+    return x.transpose(0, 4, 2, 1, 3).reshape(16, CHUNK * sub, nblocks * 128)
+
+
+def _from_chained(a, m: int, sub: int):
+    CHUNK = gv.SCAN_CHUNK
+    nblocks = m // CHUNK // (sub * 128)
+    x = a.reshape(16, CHUNK, sub, nblocks, 128)  # [16, r, s, j, l]
     return x.transpose(0, 3, 2, 4, 1).reshape(16, m)
 
 
-def _chained_pos(e, m: int):
+def _chained_pos(e, m: int, sub: int):
     """Rank e -> flat index into the chained layout reshaped [16, rows*lanes]."""
     CHUNK = gv.SCAN_CHUNK
-    nblocks = m // CHUNK // 1024
+    nblocks = m // CHUNK // (sub * 128)
     lanes = nblocks * 128
     c = e // CHUNK
     r = e % CHUNK
-    j = c // 1024
-    s = (c % 1024) // 128
+    j = c // (sub * 128)
+    s = (c % (sub * 128)) // 128
     l = c % 128
-    return (r * 8 + s) * lanes + (j * 128 + l)
+    return (r * sub + s) * lanes + (j * 128 + l)
 
 
 def _with_ones_z(P, m: int):
@@ -133,19 +141,22 @@ def _with_ones_z(P, m: int):
     return (P[0], P[1], jnp.broadcast_to(one[:, None], (16, m)))
 
 
-def _local_scan(P, m: int):
+def _local_scan(P, m: int, chained: bool = False, sub: int | None = None):
     """Chained local scan: returns (pref_chained tuple, chain_offsets flat
-    [16, chains] exclusive).  m % (CHUNK*1024) == 0 required.  P may be an
-    affine (x, y) pair — the kernel then uses the cheaper mixed add."""
+    [16, chains] exclusive).  m % (CHUNK*sub*128) == 0 required.  P may be an
+    affine (x, y) pair — the kernel then uses the cheaper mixed add.
+    chained=True: P is already in the chained [16, CHUNK*sub, lanes] layout."""
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
-    nblocks = chains // 1024
-    rows, lanes = CHUNK * 8, nblocks * 128
-    xc = tuple(_to_chained(a, m) for a in P)
-    pref = gv._local_scan_call(CHUNK, rows, lanes, mixed=len(P) == 2)(*xc)
-    tot = tuple(a[:, (CHUNK - 1) * 8 :, :] for a in pref)  # [16, 8, lanes]
+    if sub is None:
+        sub = _pick_sub(chains)
+    nblocks = chains // (sub * 128)
+    rows, lanes = CHUNK * sub, nblocks * 128
+    xc = P if chained else tuple(_to_chained(a, m, sub) for a in P)
+    pref = gv._local_scan_call(CHUNK, rows, lanes, mixed=len(P) == 2, sub=sub)(*xc)
+    tot = tuple(a[:, (CHUNK - 1) * sub :, :] for a in pref)  # [16, sub, lanes]
     tot_flat = tuple(
-        a.reshape(16, 8, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
+        a.reshape(16, sub, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
         for a in tot
     )
     tot_pref = _chained_prefix_scan(tot_flat, chains)
@@ -158,35 +169,44 @@ def _local_scan(P, m: int):
 
 def _chained_prefix_scan(P, m: int):
     """Inclusive prefix scan over flat rank-major [16, m] coords: chained
-    local scans + recursive totals scan + one offset-add pass.  Falls back to
-    the pairwise scheme for small m or on CPU."""
+    local scans + recursive totals scan + one offset-add pass.  m == 1024
+    (the recursion base, e.g. chain totals of a 32K-element level) runs as a
+    single butterfly-scan kernel; other small m / CPU fall back to the
+    pairwise scheme."""
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
     if fv._interpret() or m % CHUNK or chains % 1024:
+        if not fv._interpret() and m == 1024 and len(P) == 3:
+            return gv.block_scan_1024(P)
         return _prefix_scan(_with_ones_z(P, m), m)
-    nblocks = chains // 1024
-    rows, lanes = CHUNK * 8, nblocks * 128
-    pref, offs = _local_scan(P, m)
+    sub = _pick_sub(chains)
+    nblocks = chains // (sub * 128)
+    rows, lanes = CHUNK * sub, nblocks * 128
+    pref, offs = _local_scan(P, m, sub=sub)
     offs_ch = tuple(
-        a.reshape(16, nblocks, 8, 128).transpose(0, 2, 1, 3).reshape(16, 8, lanes)
+        a.reshape(16, nblocks, sub, 128)
+        .transpose(0, 2, 1, 3)
+        .reshape(16, sub, lanes)
         for a in offs
     )
-    out = gv._offset_add_call(CHUNK, rows, lanes)(*pref, *offs_ch)
-    return tuple(_from_chained(a, m) for a in out)
+    out = gv._offset_add_call(CHUNK, rows, lanes, sub=sub)(*pref, *offs_ch)
+    return tuple(_from_chained(a, m, sub) for a in out)
 
 
-def _prefix_at(P, m: int, idx):
+def _prefix_at(P, m: int, idx, chained: bool = False, sub: int | None = None):
     """Inclusive-prefix values at rank indices `idx` [K] (entries clipped to
     [0, m)), WITHOUT materializing the full prefix: local scan + gather the
     local prefixes and chain offsets at the requested ranks + one padd over
     K elements.  Returns (coords tuple [16, K])."""
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
-    if fv._interpret() or m % CHUNK or chains % 1024:
+    if not chained and (fv._interpret() or m % CHUNK or chains % 1024):
         full = _prefix_scan(_with_ones_z(P, m), m)
         return tuple(jnp.take(a, idx, axis=1) for a in full)
-    pref, offs = _local_scan(P, m)
-    pos = _chained_pos(idx, m)
+    if sub is None:
+        sub = _pick_sub(chains)
+    pref, offs = _local_scan(P, m, chained=chained, sub=sub)
+    pos = _chained_pos(idx, m, sub)
     local = tuple(jnp.take(a.reshape(16, -1), pos, axis=1) for a in pref)
     off_at = tuple(jnp.take(a, idx // CHUNK, axis=1) for a in offs)
     k = idx.shape[0]
@@ -194,19 +214,27 @@ def _prefix_at(P, m: int, idx):
 
 
 def _chained_reduce(P, m: int):
-    """Sum of m points (flat [16, m]) via chained local scans (totals only);
-    returns coords [16, 1]."""
+    """Sum of m points (flat [16, m]): one butterfly-reduce kernel for
+    m <= 64K (e.g. the per-window 2^c bucket sum), chained local scans above
+    that; returns coords [16, 1]."""
+    if fv._interpret():
+        return _tree_reduce(P, m)
+    if m <= gv.BLOCK_REDUCE_MAX and len(P) == 3:
+        return gv.block_reduce(P, m)
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
-    if fv._interpret() or m % CHUNK or chains % 1024:
+    if m % CHUNK or chains % 1024:
         return _tree_reduce(P, m)
-    pref, offs = _local_scan(P, m)
+    sub = _pick_sub(chains)
+    pref, offs = _local_scan(P, m, sub=sub)
     # total = offset of a virtual chain after the last = offs[last] + last tot
     # simpler: chain totals scanned inclusively = offs shifted; recompute:
-    nblocks = chains // 1024
-    tot = tuple(a[:, (gv.SCAN_CHUNK - 1) * 8 :, :] for a in pref)
+    nblocks = chains // (sub * 128)
+    tot = tuple(a[:, (gv.SCAN_CHUNK - 1) * sub :, :] for a in pref)
     tot_flat = tuple(
-        a.reshape(16, 8, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
+        a.reshape(16, sub, nblocks, 128)
+        .transpose(0, 2, 1, 3)
+        .reshape(16, chains)
         for a in tot
     )
     return _chained_reduce(tot_flat, chains)
@@ -252,17 +280,45 @@ def _msm_window_partials(PX, PY, scalars, c: int):
 
     assert c <= 16, "digits must fit u16 (sort keys)"
 
+    CHUNK = gv.SCAN_CHUNK
+    chains = n // CHUNK
+    fast = not fv._interpret() and n % CHUNK == 0 and chains % 1024 == 0
+    sub = _pick_sub(chains)
+
     def one_window(carry, d):
         # u16 keys sort ~2.5x faster than argsort on i32
         sd, order = jax.lax.sort(
             (d.astype(jnp.uint16), jax.lax.iota(jnp.int32, n)), num_keys=1
         )
-        XY16 = jnp.take(PXY16, order, axis=0)  # [n, 64] u16 rows
-        XY = jax.lax.bitcast_convert_type(
-            XY16.reshape(n, 32, 2), jnp.uint32
-        )  # [n, 32]
-        Xf = jnp.transpose(XY[:, :16], (1, 0))  # [16, n]
-        Yf = jnp.transpose(XY[:, 16:], (1, 0))
+        if fast:
+            # compose the sort order with the static rank->chained-position
+            # permutation so the point gather lands directly in the scan
+            # kernel's chained layout: ONE [n,32]->[32,n] transpose replaces
+            # the rank-major transpose + _to_chained shuffle (4 transposes).
+            # The composition itself is a pure index shuffle: order viewed as
+            # [chains(j,s,l), CHUNK(r)] transposed to [r, s, j, l] — a 4 MB
+            # transpose instead of a (20 ms) dynamic gather.
+            nblocks = chains // (sub * 128)
+            idx = (
+                order.reshape(nblocks, sub, 128, CHUNK)
+                .transpose(3, 1, 0, 2)
+                .reshape(n)
+            )
+            G16 = jnp.take(PXY16, idx, axis=0)  # [n, 64] u16 rows
+            G = jax.lax.bitcast_convert_type(
+                G16.reshape(n, 32, 2), jnp.uint32
+            )  # [n, 32]
+            lanes = nblocks * 128
+            Tc = jnp.transpose(G, (1, 0)).reshape(32, CHUNK * sub, lanes)
+            P_in, chained = (Tc[:16], Tc[16:]), True
+        else:
+            XY16 = jnp.take(PXY16, order, axis=0)  # [n, 64] u16 rows
+            XY = jax.lax.bitcast_convert_type(
+                XY16.reshape(n, 32, 2), jnp.uint32
+            )  # [n, 32]
+            Xf = jnp.transpose(XY[:, :16], (1, 0))  # [16, n]
+            Yf = jnp.transpose(XY[:, 16:], (1, 0))
+            P_in, chained = (Xf, Yf), False
 
         # T[v] = prefix at last index with digit <= v (identity if none) —
         # gathered from local prefixes + per-chain offsets, no full prefix;
@@ -272,7 +328,7 @@ def _msm_window_partials(PX, PY, scalars, c: int):
             - 1
         )
         safe = jnp.clip(tails, 0, n - 1)
-        T = _prefix_at((Xf, Yf), n, safe)  # [16, V]
+        T = _prefix_at(P_in, n, safe, chained=chained, sub=sub)  # [16, V]
         none_mask = (tails < 0)[None, :]
         T = (
             jnp.where(none_mask, one[:, None], T[0]),

@@ -285,3 +285,38 @@ def vsub(spec: FieldSpec, a, b):
 def vbutterfly(spec: FieldSpec, lo, hi, tw):
     lo, hi, tw = _ensure_vec(lo), _ensure_vec(hi), _ensure_vec(tw)
     return _vbutterfly_call(spec, lo.shape[1])(lo, hi, tw)
+
+
+# ---------------------------------------------------------------------------
+# 2D u32 transpose kernel: XLA's [n, 32] -> [32, n] transpose runs ~100x off
+# HBM bandwidth; Mosaic's in-VMEM transpose unit does much better.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _transpose_call(n: int, cols: int, block_rows: int = 2048):
+    def kernel(x_ref, o_ref):
+        o_ref[...] = jnp.transpose(x_ref[...], (1, 0))
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cols, n), jnp.uint32),
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (cols, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+
+
+def transpose_u32(x):
+    """[n, cols] u32 -> [cols, n] via a tiled Mosaic transpose (falls back to
+    jnp.transpose off-TPU or on shape mismatch)."""
+    n, cols = x.shape
+    if _interpret() or n % 2048 or cols % 8:
+        return jnp.transpose(x, (1, 0))
+    return _transpose_call(n, cols)(x)
