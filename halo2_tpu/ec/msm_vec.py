@@ -309,6 +309,9 @@ def _msm_window_partials(PX, PY, scalars, c: int):
                 G16.reshape(n, 32, 2), jnp.uint32
             )  # [n, 32]
             lanes = nblocks * 128
+            # NOTE: fv.transpose_u32 (Mosaic) wins in isolation (7.6 vs
+            # 12 ms) but loses in-pipeline (749 vs 717 ms total) — XLA
+            # fuses the bitcast into its own transpose here.
             Tc = jnp.transpose(G, (1, 0)).reshape(32, CHUNK * sub, lanes)
             P_in, chained = (Tc[:16], Tc[16:]), True
         else:

@@ -60,10 +60,19 @@ def _pow_table(base: int, count: int, scale: int = 1) -> np.ndarray:
     return out
 
 
+ROLL_STAGES = 3  # stages 1..3 (half < 8) run as full-width sublane rolls
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(omega_r: int, R: int):
-    """Packed DIT stage twiddles [16, 1, R]: for stage s (m=2^s), offset
-    2^{s-1}-1 holds the 2^{s-1} values omega_r^{j * R/m}."""
+    """Stage twiddles [16, R, 3].
+
+    Column 0: packed DIT stage twiddles — for stage s (m=2^s), offset
+    2^{s-1}-1 holds the 2^{s-1} values omega_r^{j * R/m} (stages half >= 8).
+    Columns 1, 2: full per-ROW twiddle tables for roll-stages 2 and 3
+    (twrow[r] = omega_r^{(r mod half) * R/m}) — those stages butterfly the
+    whole [R, lanes] value with sublane rolls, so the twiddle must be laid
+    out per row rather than per packed offset."""
     cols = []
     log_r = R.bit_length() - 1
     for s in range(1, log_r + 1):
@@ -72,7 +81,17 @@ def _stage_twiddles(omega_r: int, R: int):
         cols.append(_pow_table(pow(omega_r, step, FR_MOD), half))
     packed = np.concatenate(cols, axis=1)  # [16, R-1]
     packed = np.pad(packed, ((0, 0), (0, R - packed.shape[1])))
-    return packed[:, :, None]  # [16, R, 1] numpy (safe to cache under traces)
+    planes = [packed]
+    for s in (2, 3):
+        col = np.zeros((L, R), dtype=np.uint32)
+        if s <= log_r:
+            half = 1 << (s - 1)
+            w = pow(omega_r, R >> s, FR_MOD)
+            row_vals = [_pow_table(1, 1, pow(w, j, FR_MOD))[:, 0] for j in range(half)]
+            for r in range(R):
+                col[:, r] = row_vals[r % half]
+        planes.append(col)
+    return np.stack(planes, axis=2)  # [16, R, 3] numpy (safe to cache)
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,22 +109,42 @@ def _cross_twiddles(omega_m: int, R: int, M2: int, scale: int):
 # ---------------------------------------------------------------------------
 
 
-def _pass_body(x, ts, t, R: int, p16, n0inv):
+def _pass_body(x, ts, t, R: int, p16, n0inv, roll=None):
     """Shared math for one radix pass: x = list of 16 [R, nb] limb arrays,
-    ts = list of 16 [R, 1] stage-twiddle columns, t = final-twiddle limb list
-    ([R, nb], [R, 1]) or None."""
+    ts = list of 16 [R, 3] stage-twiddle planes (see _stage_twiddles),
+    t = final-twiddle limb list ([R, nb], [R, 1]) or None.
+
+    Stages with half < 8 (m <= 8) butterfly the full [R, nb] value via
+    circular sublane rolls + a row mask — the reshape formulation would
+    compute on (m, nb) tiles with < 8 sublanes, wasting most of each vreg
+    (measured: those stages dominated the pass kernel).  roll(a, shift,
+    axis) must behave like jnp.roll (out[i] = in[i - shift])."""
     log_r = R.bit_length() - 1
     nb = x[0].shape[-1]
     for s in range(1, log_r + 1):
         m = 1 << s
         half = m >> 1
         off = half - 1
+        if half < 8 and R >= 16 and roll is not None:
+            iota = jax.lax.broadcasted_iota(jnp.int32, (R, nb), 0)
+            is_lo = (iota % m) < half
+            if s == 1:
+                tt = x  # stage-1 twiddle is omega^0 = 1: skip the multiply
+            else:
+                twrow = [v[:, s - 1 : s] for v in ts]  # [R, 1] per-row
+                tt = fv._redc(fv._comba_columns(x, twrow), p16, n0inv)
+            up = [roll(v, -half, 0) for v in tt]  # tt[r + half] at row r
+            down = [roll(v, half, 0) for v in x]  # x[r - half] at row r
+            e = fv._add_body(x, up, p16)
+            o = fv._sub_body(down, tt, p16)
+            x = [jnp.where(is_lo, a, b) for a, b in zip(e, o)]
+            continue
         lo = [v.reshape(R // m, m, nb)[:, :half, :] for v in x]
         hi = [v.reshape(R // m, m, nb)[:, half:, :] for v in x]
         if s == 1:
             tt = hi  # stage-1 twiddle is omega^0 = 1: skip the multiply
         else:
-            tw = [v[off : off + half, :][None, :, :] for v in ts]  # [1,half,1]
+            tw = [v[off : off + half, 0:1][None, :, :] for v in ts]  # [1,half,1]
             tt = fv._redc(fv._comba_columns(hi, tw), p16, n0inv)
         e = fv._add_body(lo, tt, p16)
         o = fv._sub_body(lo, tt, p16)
@@ -113,6 +152,10 @@ def _pass_body(x, ts, t, R: int, p16, n0inv):
     if t is not None:
         x = fv._redc(fv._comba_columns(x, t), p16, n0inv)
     return x
+
+
+def _jnp_roll(a, shift, axis):
+    return jnp.roll(a, shift, axis=axis)
 
 
 def _pass_jnp(spec: FieldSpec, R: int, tw_mode: str, B: int, xb, ts, tw=None):
@@ -132,7 +175,7 @@ def _pass_jnp(spec: FieldSpec, R: int, tw_mode: str, B: int, xb, ts, tw=None):
         ]
     elif tw_mode == "const":
         t = [tw[i] for i in range(L)]  # [R, 1] broadcasts
-    out = _pass_body(x, tsl, t, R, p16, n0inv)
+    out = _pass_body(x, tsl, t, R, p16, n0inv, roll=_jnp_roll)
     return jnp.stack(out)
 
 
@@ -156,20 +199,23 @@ def _pass_call(
     p16, n0inv = fv._field_consts(spec)
     has_tw = tw_mode != "none"
 
+    def mosaic_roll(a, shift, axis):
+        return pltpu.roll(a, shift=shift % a.shape[axis], axis=axis)
+
     def kernel(*refs):
         if has_tw:
             x_ref, ts_ref, t_ref, o_ref = refs
         else:
             x_ref, ts_ref, o_ref = refs
         x = [x_ref[i] for i in range(L)]  # each [R, 128]
-        ts = [ts_ref[i] for i in range(L)]  # [R, 1]
+        ts = [ts_ref[i] for i in range(L)]  # [R, 3]
         if not has_tw:
             t = None
         elif tw_mode == "percol":
             t = [t_ref[i, 0] for i in range(L)]  # 4D T: [R, 1]
         else:
             t = [t_ref[i] for i in range(L)]  # [R, 128] or [R, 1]
-        out = _pass_body(x, ts, t, R, p16, n0inv)
+        out = _pass_body(x, ts, t, R, p16, n0inv, roll=mosaic_roll)
         for i in range(L):
             o_ref[i] = out[i]
 
@@ -181,7 +227,7 @@ def _pass_call(
         )
         in_specs = [
             bs_x,
-            pl.BlockSpec((L, R, 1), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, R, 3), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             # T reshaped to [L, M2, R, 1]: block last-two dims (R, 1) are legal
             pl.BlockSpec(
                 (L, 1, R, 1), lambda i, j: (0, i, 0, 0), memory_space=pltpu.VMEM
@@ -194,7 +240,7 @@ def _pass_call(
         )
         in_specs = [
             bs_x,
-            pl.BlockSpec((L, R, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, R, 3), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ]
         if tw_mode == "lanes":
             in_specs.append(
