@@ -327,129 +327,7 @@ def _padd_mixed_body(p, q_xy, p16, n0inv):
     return out
 
 
-# ---------------------------------------------------------------------------
-# chained local scan: the MSM bucket-accumulation workhorse.
-#
-# Layout ("chained", sublane width SUB): [16, CHUNK*SUB, 128*nblocks] where
-# chain c = (j*SUB + s)*128 + l owns ranks c*CHUNK + r at position
-# [:, r*SUB + s, j*128 + l].  Each grid step scans CHUNK ranks for SUB*128
-# chains entirely in VMEM — no HBM glue between scan levels (the failure
-# mode of the pairwise-recursion scan).  Wider SUB = more vregs of
-# independent work inside the serial rank loop (better VPU utilization).
-# ---------------------------------------------------------------------------
-
 SCAN_CHUNK = 32
-SCAN_SUB = 32  # sublane rows per rank slice at the top level (8 for smaller)
-
-
-@functools.lru_cache(maxsize=None)
-def _local_scan_call(
-    chunk: int, rows: int, lanes: int, mixed: bool = False, sub: int = 8
-):
-    """Inclusive per-chain scan + writes prefixes in place; block
-    [16, chunk*sub, 128].  mixed=True: inputs are AFFINE (x, y only, Z = 1
-    implied — the MSM's sorted points), using the cheaper mixed add."""
-    p16, n0inv = fv._field_consts(FQ)
-    L = fv.L
-    n_in = 2 if mixed else 3
-
-    def kernel(*refs):
-        refs_in = refs[:n_in]
-        refs_out = refs[n_in:]
-
-        def read(r):
-            off = pl.multiple_of(r * sub, sub)
-            return tuple(
-                jnp.stack([ref[i, pl.ds(off, sub), :] for i in range(L)])
-                for ref in refs_in
-            )
-
-        def write(r, acc):
-            off = pl.multiple_of(r * sub, sub)
-            for ref, coord in zip(refs_out, acc):
-                for i in range(L):
-                    ref[i, pl.ds(off, sub), :] = coord[i]
-
-        first = read(0)
-        if mixed:
-            one = jnp.stack(
-                [jnp.full_like(first[0][0], _ONE16[i]) for i in range(L)]
-            )
-            acc0 = (first[0], first[1], one)
-        else:
-            acc0 = first
-        write(0, acc0)
-
-        def body(r, acc):
-            cur = read(r)
-            p = tuple([c[i] for i in range(L)] for c in acc)
-            q = tuple([c[i] for i in range(L)] for c in cur)
-            if mixed:
-                out = _padd_mixed_body(p, q, p16, n0inv)
-            else:
-                out = _padd_body_lists(p, q, p16, n0inv)
-            nxt = tuple(jnp.stack(c) for c in out)
-            write(r, nxt)
-            return nxt
-
-        jax.lax.fori_loop(1, chunk, body, acc0)
-
-    bs = pl.BlockSpec(
-        (L, chunk * sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
-    )
-    shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(shape, shape, shape),
-        grid=(lanes // 128,),
-        in_specs=[bs] * n_in,
-        out_specs=(bs, bs, bs),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )
-
-
-@functools.lru_cache(maxsize=None)
-def _offset_add_call(chunk: int, rows: int, lanes: int, sub: int = 8):
-    """out[:, r*sub+s, :] = padd(x[:, r*sub+s, :], off[:, s, :]) for every
-    r — adds each chain's exclusive offset to its local prefixes."""
-    p16, n0inv = fv._field_consts(FQ)
-    L = fv.L
-
-    def kernel(x1, y1, z1, fx, fy, fz, ox, oy, oz):
-        off = tuple([ref[i] for i in range(L)] for ref in (fx, fy, fz))
-
-        def body(r, _):
-            o8 = pl.multiple_of(r * sub, sub)
-            cur = tuple(
-                [ref[i, pl.ds(o8, sub), :] for i in range(L)]
-                for ref in (x1, y1, z1)
-            )
-            res = _padd_body_lists(off, cur, p16, n0inv)
-            for ref, coord in zip((ox, oy, oz), res):
-                for i in range(L):
-                    ref[i, pl.ds(o8, sub), :] = coord[i]
-            return 0
-
-        jax.lax.fori_loop(0, chunk, body, 0)
-
-    bs = pl.BlockSpec(
-        (L, chunk * sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
-    )
-    bs_off = pl.BlockSpec((L, sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
-    off_shape = jax.ShapeDtypeStruct((L, sub, lanes), jnp.uint32)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(shape, shape, shape),
-        grid=(lanes // 128,),
-        in_specs=[bs] * 3 + [bs_off] * 3,
-        out_specs=(bs, bs, bs),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -601,3 +479,180 @@ def block_scan_1024(P):
     coords = tuple(a.reshape(16, 8, fv.LANES) for a in P)
     out = _block_scan_call()(*coords)
     return tuple(a.reshape(16, 1024) for a in out)
+
+
+# ---------------------------------------------------------------------------
+# rank-major chain scan: consumes the lax.sort payload outputs DIRECTLY.
+#
+# Chain c owns ranks c*CHUNK + r; rank-major storage [chains, CHUNK] is a
+# pure reshape of the sorted rank stream, so there is no stacking copy and
+# no HBM-level relayout between the sort and the kernel (measured: the
+# jnp.stack of 32 sort outputs alone cost ~11.5 ms per window).  The kernel
+# transposes each [blk, CHUNK] limb plane to [CHUNK, sub, 128] in VMEM,
+# scans the CHUNK ranks serially (statically unrolled), and writes
+# rank-major prefixes back.
+# ---------------------------------------------------------------------------
+
+RANK_BLK = 1024  # chains per grid step (sub = 8 sublane rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
+                    blk: int = RANK_BLK):
+    """Per-chain inclusive scan consuming RANK-MAJOR input (chain c owns
+    ranks c*chunk + r at [c, r] — a pure reshape of the sorted rank stream,
+    so no stacking/transpose of the 128 MB point data outside the kernel).
+
+    Phase A transposes each [blk, chunk] limb plane to the chained
+    [chunk*sub, 128] layout in VMEM scratch; phase B is the serial rank
+    loop over pl.ds sublane slices (one padd body, small kernel).  Outputs
+    stay CHAINED: chain c = j*blk + s*128 + l holds rank c*chunk + r at
+    [:, r*sub + s, j*128 + l].
+    """
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+    sub = blk // 128
+    ncoord = 2 if mixed else 3
+    n_in = ncoord * L
+    rows = chunk * sub
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in : n_in + 3]
+        scratch = refs[n_in + 3 :]  # ncoord VMEM bufs [L, rows, 128]
+
+        for ci in range(ncoord):
+            for i in range(L):
+                v = ins[ci * L + i][...]  # [blk, chunk]
+                scratch[ci][i] = jnp.transpose(v, (1, 0)).reshape(rows, 128)
+
+        def read(r):
+            off = pl.multiple_of(r * sub, sub)
+            return tuple(
+                jnp.stack([scratch[ci][i, pl.ds(off, sub), :] for i in range(L)])
+                for ci in range(ncoord)
+            )
+
+        def write(r, acc):
+            off = pl.multiple_of(r * sub, sub)
+            for ref, coord in zip(outs, acc):
+                for i in range(L):
+                    ref[i, pl.ds(off, sub), :] = coord[i]
+
+        first = read(0)
+        if mixed:
+            one = jnp.stack(
+                [jnp.full_like(first[0][0], _ONE16[i]) for i in range(L)]
+            )
+            acc0 = (first[0], first[1], one)
+        else:
+            acc0 = first
+        write(0, acc0)
+
+        def body(r, acc):
+            cur = read(r)
+            pp = tuple([c[i] for i in range(L)] for c in acc)
+            qq = tuple([c[i] for i in range(L)] for c in cur)
+            if mixed:
+                out = _padd_mixed_body(pp, qq, p16, n0inv)
+            else:
+                out = _padd_body_lists(pp, qq, p16, n0inv)
+            nxt = tuple(jnp.stack(c) for c in out)
+            write(r, nxt)
+            return nxt
+
+        jax.lax.fori_loop(1, chunk, body, acc0)
+
+    nblocks = chains // blk
+    in_bs = pl.BlockSpec((blk, chunk), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    out_bs = pl.BlockSpec(
+        (L, rows, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, rows, nblocks * 128), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(nblocks,),
+        in_specs=[in_bs] * n_in,
+        out_specs=(out_bs, out_bs, out_bs),
+        scratch_shapes=[pltpu.VMEM((L, rows, 128), jnp.uint32)] * ncoord,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _offset_add_call(chunk: int, rows: int, lanes: int, sub: int = 8):
+    """out[:, r*sub+s, :] = padd(x[:, r*sub+s, :], off[:, s, :]) for every
+    r — adds each chain's exclusive offset to its local prefixes."""
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(x1, y1, z1, fx, fy, fz, ox, oy, oz):
+        off = tuple([ref[i] for i in range(L)] for ref in (fx, fy, fz))
+
+        def body(r, _):
+            o8 = pl.multiple_of(r * sub, sub)
+            cur = tuple(
+                [ref[i, pl.ds(o8, sub), :] for i in range(L)]
+                for ref in (x1, y1, z1)
+            )
+            res = _padd_body_lists(off, cur, p16, n0inv)
+            for ref, coord in zip((ox, oy, oz), res):
+                for i in range(L):
+                    ref[i, pl.ds(o8, sub), :] = coord[i]
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    bs = pl.BlockSpec(
+        (L, chunk * sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    bs_off = pl.BlockSpec((L, sub, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, rows, lanes), jnp.uint32)
+    off_shape = jax.ShapeDtypeStruct((L, sub, lanes), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(lanes // 128,),
+        in_specs=[bs] * 3 + [bs_off] * 3,
+        out_specs=(bs, bs, bs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_offset_add_call(chunk: int, chains: int, blk: int = RANK_BLK):
+    """out[:, c, r] = padd(off[:, c, 0], x[:, c, r]) — adds each chain's
+    exclusive offset to its rank-major local prefixes (lane-1 broadcast)."""
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(x1, y1, z1, fx, fy, fz, ox, oy, oz):
+        off = tuple([ref[i] for i in range(L)] for ref in (fx, fy, fz))
+        cur = tuple([ref[i] for i in range(L)] for ref in (x1, y1, z1))
+        res = _padd_body_lists(off, cur, p16, n0inv)
+        for ref, coord in zip((ox, oy, oz), res):
+            for i in range(L):
+                ref[i] = coord[i]
+
+    bs = pl.BlockSpec(
+        (L, blk, chunk), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+    )
+    bs_off = pl.BlockSpec(
+        (L, blk, 1), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, chains, chunk), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(chains // blk,),
+        in_specs=[bs] * 3 + [bs_off] * 3,
+        out_specs=(bs, bs, bs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )

@@ -96,43 +96,6 @@ def _prefix_scan(P, m: int):
     return tuple(out)
 
 
-def _pick_sub(chains: int) -> int:
-    """Widest supported sublane slice for this chain count."""
-    if chains % (gv.SCAN_SUB * 128) == 0:
-        return gv.SCAN_SUB
-    return 8
-
-
-def _to_chained(a, m: int, sub: int):
-    """[16, m] rank-major -> [16, CHUNK*sub, lanes] chained layout (chain
-    c = j*(sub*128) + s*128 + l owns ranks c*CHUNK + r at
-    [:, r*sub+s, j*128+l])."""
-    CHUNK = gv.SCAN_CHUNK
-    nblocks = m // CHUNK // (sub * 128)
-    x = a.reshape(16, nblocks, sub, 128, CHUNK)  # [16, j, s, l, r]
-    return x.transpose(0, 4, 2, 1, 3).reshape(16, CHUNK * sub, nblocks * 128)
-
-
-def _from_chained(a, m: int, sub: int):
-    CHUNK = gv.SCAN_CHUNK
-    nblocks = m // CHUNK // (sub * 128)
-    x = a.reshape(16, CHUNK, sub, nblocks, 128)  # [16, r, s, j, l]
-    return x.transpose(0, 3, 2, 4, 1).reshape(16, m)
-
-
-def _chained_pos(e, m: int, sub: int):
-    """Rank e -> flat index into the chained layout reshaped [16, rows*lanes]."""
-    CHUNK = gv.SCAN_CHUNK
-    nblocks = m // CHUNK // (sub * 128)
-    lanes = nblocks * 128
-    c = e // CHUNK
-    r = e % CHUNK
-    j = c // (sub * 128)
-    s = (c % (sub * 128)) // 128
-    l = c % 128
-    return (r * sub + s) * lanes + (j * 128 + l)
-
-
 def _with_ones_z(P, m: int):
     """(x, y) affine tuple -> (x, y, z=1) for the portable fallbacks."""
     if len(P) == 3:
@@ -141,48 +104,75 @@ def _with_ones_z(P, m: int):
     return (P[0], P[1], jnp.broadcast_to(one[:, None], (16, m)))
 
 
-def _local_scan(P, m: int, chained: bool = False, sub: int | None = None):
-    """Chained local scan: returns (pref_chained tuple, chain_offsets flat
-    [16, chains] exclusive).  m % (CHUNK*sub*128) == 0 required.  P may be an
-    affine (x, y) pair — the kernel then uses the cheaper mixed add.
-    chained=True: P is already in the chained [16, CHUNK*sub, lanes] layout."""
+def _chained_pos(e, chains: int, blk: int):
+    """Rank e -> flat index into the chained scan output reshaped
+    [16, rows*lanes] (chain c = j*blk + s*128 + l at [r*sub+s, j*128+l])."""
     CHUNK = gv.SCAN_CHUNK
-    chains = m // CHUNK
-    if sub is None:
-        sub = _pick_sub(chains)
-    nblocks = chains // (sub * 128)
-    rows, lanes = CHUNK * sub, nblocks * 128
-    xc = P if chained else tuple(_to_chained(a, m, sub) for a in P)
-    pref = gv._local_scan_call(CHUNK, rows, lanes, mixed=len(P) == 2, sub=sub)(*xc)
+    sub = blk // 128
+    lanes = chains // blk * 128
+    c = e // CHUNK
+    r = e % CHUNK
+    j = c // blk
+    sl = (c % blk) // 128
+    l = c % 128
+    return (r * sub + sl) * lanes + (j * 128 + l)
+
+
+def _tot_flat(pref, chains: int, blk: int):
+    """Chain totals (last rank per chain) of a chained scan output, in flat
+    chain order [16, chains]."""
+    CHUNK = gv.SCAN_CHUNK
+    sub = blk // 128
+    nblocks = chains // blk
     tot = tuple(a[:, (CHUNK - 1) * sub :, :] for a in pref)  # [16, sub, lanes]
-    tot_flat = tuple(
+    return tuple(
         a.reshape(16, sub, nblocks, 128).transpose(0, 2, 1, 3).reshape(16, chains)
         for a in tot
     )
-    tot_pref = _chained_prefix_scan(tot_flat, chains)
+
+
+def _rank_local_scan(xcols, ycols, n: int):
+    """Chain scan over the 32 sort-payload limb planes (rank-major input —
+    a pure [n] -> [chains, CHUNK] reshape per plane, no stacking copy).
+    Returns (pref coords in CHAINED layout, chain_offsets flat [16, chains]
+    exclusive, blk)."""
+    CHUNK = gv.SCAN_CHUNK
+    chains = n // CHUNK
+    blk = min(gv.RANK_BLK, chains)
+    ins = [c.reshape(chains, CHUNK) for c in xcols] + [
+        c.reshape(chains, CHUNK) for c in ycols
+    ]
+    pref = gv._rank_scan_call(CHUNK, chains, mixed=True, blk=blk)(*ins)
+    tot_pref = _rank_prefix_scan(_tot_flat(pref, chains, blk), chains)
     offs = tuple(
         jnp.concatenate([jnp.zeros((16, 1), dtype=a.dtype), a[:, :-1]], axis=1)
         for a in tot_pref
     )
-    return pref, offs
+    return pref, offs, blk
 
 
-def _chained_prefix_scan(P, m: int):
-    """Inclusive prefix scan over flat rank-major [16, m] coords: chained
-    local scans + recursive totals scan + one offset-add pass.  m == 1024
-    (the recursion base, e.g. chain totals of a 32K-element level) runs as a
-    single butterfly-scan kernel; other small m / CPU fall back to the
-    pairwise scheme."""
+def _rank_prefix_scan(P, m: int):
+    """Inclusive Jacobian prefix scan over flat rank-major [16, m] coords:
+    rank-major chain scans + recursive totals scan + one offset-add pass;
+    m == 1024 runs as the single butterfly-scan kernel.  Returns flat
+    rank-major [16, m]."""
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
-    if fv._interpret() or m % CHUNK or chains % 1024:
-        if not fv._interpret() and m == 1024 and len(P) == 3:
-            return gv.block_scan_1024(P)
+    blk = min(gv.RANK_BLK, chains)
+    if m == 1024:
+        return gv.block_scan_1024(P)
+    if m % CHUNK or chains % blk or chains % 128:
         return _prefix_scan(_with_ones_z(P, m), m)
-    sub = _pick_sub(chains)
-    nblocks = chains // (sub * 128)
+    sub = blk // 128
+    nblocks = chains // blk
     rows, lanes = CHUNK * sub, nblocks * 128
-    pref, offs = _local_scan(P, m, sub=sub)
+    ins = [P[ci][i].reshape(chains, CHUNK) for ci in range(3) for i in range(16)]
+    pref = gv._rank_scan_call(CHUNK, chains, mixed=False, blk=blk)(*ins)
+    tot_pref = _rank_prefix_scan(_tot_flat(pref, chains, blk), chains)
+    offs = tuple(
+        jnp.concatenate([jnp.zeros((16, 1), dtype=a.dtype), a[:, :-1]], axis=1)
+        for a in tot_pref
+    )
     offs_ch = tuple(
         a.reshape(16, nblocks, sub, 128)
         .transpose(0, 2, 1, 3)
@@ -190,54 +180,43 @@ def _chained_prefix_scan(P, m: int):
         for a in offs
     )
     out = gv._offset_add_call(CHUNK, rows, lanes, sub=sub)(*pref, *offs_ch)
-    return tuple(_from_chained(a, m, sub) for a in out)
+    # chained -> flat rank-major
+    return tuple(
+        a.reshape(16, CHUNK, sub, nblocks, 128)
+        .transpose(0, 3, 2, 4, 1)
+        .reshape(16, m)
+        for a in out
+    )
 
 
-def _prefix_at(P, m: int, idx, chained: bool = False, sub: int | None = None):
-    """Inclusive-prefix values at rank indices `idx` [K] (entries clipped to
-    [0, m)), WITHOUT materializing the full prefix: local scan + gather the
-    local prefixes and chain offsets at the requested ranks + one padd over
-    K elements.  Returns (coords tuple [16, K])."""
+def _rank_prefix_at(xcols, ycols, n: int, idx):
+    """Inclusive-prefix values of the sorted point stream at rank indices
+    `idx` [K]: rank-major scan + gathers at chained positions + one padd."""
     CHUNK = gv.SCAN_CHUNK
-    chains = m // CHUNK
-    if not chained and (fv._interpret() or m % CHUNK or chains % 1024):
-        full = _prefix_scan(_with_ones_z(P, m), m)
-        return tuple(jnp.take(a, idx, axis=1) for a in full)
-    if sub is None:
-        sub = _pick_sub(chains)
-    pref, offs = _local_scan(P, m, chained=chained, sub=sub)
-    pos = _chained_pos(idx, m, sub)
+    chains = n // CHUNK
+    pref, offs, blk = _rank_local_scan(xcols, ycols, n)
+    pos = _chained_pos(idx, chains, blk)
     local = tuple(jnp.take(a.reshape(16, -1), pos, axis=1) for a in pref)
     off_at = tuple(jnp.take(a, idx // CHUNK, axis=1) for a in offs)
-    k = idx.shape[0]
-    return _vpadd_flat(local, off_at, k)
+    return _vpadd_flat(local, off_at, idx.shape[0])
 
 
-def _chained_reduce(P, m: int):
+def _rank_reduce(P, m: int):
     """Sum of m points (flat [16, m]): one butterfly-reduce kernel for
-    m <= 64K (e.g. the per-window 2^c bucket sum), chained local scans above
-    that; returns coords [16, 1]."""
+    m <= 64K (e.g. the per-window 2^c bucket sum), rank-major chain scans
+    above that; returns coords [16, 1]."""
     if fv._interpret():
         return _tree_reduce(P, m)
     if m <= gv.BLOCK_REDUCE_MAX and len(P) == 3:
         return gv.block_reduce(P, m)
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
-    if m % CHUNK or chains % 1024:
+    blk = min(gv.RANK_BLK, chains)
+    if m % CHUNK or chains % blk or chains % 128:
         return _tree_reduce(P, m)
-    sub = _pick_sub(chains)
-    pref, offs = _local_scan(P, m, sub=sub)
-    # total = offset of a virtual chain after the last = offs[last] + last tot
-    # simpler: chain totals scanned inclusively = offs shifted; recompute:
-    nblocks = chains // (sub * 128)
-    tot = tuple(a[:, (gv.SCAN_CHUNK - 1) * sub :, :] for a in pref)
-    tot_flat = tuple(
-        a.reshape(16, sub, nblocks, 128)
-        .transpose(0, 2, 1, 3)
-        .reshape(16, chains)
-        for a in tot
-    )
-    return _chained_reduce(tot_flat, chains)
+    ins = [P[ci][i].reshape(chains, CHUNK) for ci in range(3) for i in range(16)]
+    pref = gv._rank_scan_call(CHUNK, chains, mixed=False, blk=blk)(*ins)
+    return _rank_reduce(_tot_flat(pref, chains, blk), chains)
 
 
 def _tree_reduce(P, m: int):
@@ -274,64 +253,42 @@ def _msm_window_partials(PX, PY, scalars, c: int):
     V = 1 << c
     digits_all = _digits(scalars, c)
     one = jnp.asarray(gv._ONE_COL.reshape(16))
-    PXY = jnp.concatenate([PX, PY], axis=1)  # [n, 32]: one gather per window
-    # XLA's row gather is ~2x faster on a u16 view of the same bytes
-    PXY16 = jax.lax.bitcast_convert_type(PXY, jnp.uint16).reshape(n, 64)
+    # the point limbs ride the sort as payload operands: measured CHEAPER
+    # than sorting (key, iota) and row-gathering the points afterwards
+    # (12 ms vs 13.6 + 22 ms — XLA's row gather runs at gather-op overhead
+    # speed regardless of locality, scripts/gather_probe.py)
+    PXY = jnp.concatenate([PX, PY], axis=1)  # [n, 32]
+    pcols = tuple(PXY[:, i] for i in range(32))  # hoisted out of the scan
 
     assert c <= 16, "digits must fit u16 (sort keys)"
 
     CHUNK = gv.SCAN_CHUNK
     chains = n // CHUNK
-    fast = not fv._interpret() and n % CHUNK == 0 and chains % 1024 == 0
-    sub = _pick_sub(chains)
+    fast = not fv._interpret() and n % CHUNK == 0 and chains % 128 == 0
 
     def one_window(carry, d):
-        # u16 keys sort ~2.5x faster than argsort on i32
-        sd, order = jax.lax.sort(
-            (d.astype(jnp.uint16), jax.lax.iota(jnp.int32, n)), num_keys=1
+        # bucket grouping only needs GROUPED order, not a stable sort
+        sorted_ops = jax.lax.sort(
+            (d.astype(jnp.uint16),) + pcols,
+            num_keys=1,
+            is_stable=False,
+            dimension=0,
         )
-        if fast:
-            # compose the sort order with the static rank->chained-position
-            # permutation so the point gather lands directly in the scan
-            # kernel's chained layout: ONE [n,32]->[32,n] transpose replaces
-            # the rank-major transpose + _to_chained shuffle (4 transposes).
-            # The composition itself is a pure index shuffle: order viewed as
-            # [chains(j,s,l), CHUNK(r)] transposed to [r, s, j, l] — a 4 MB
-            # transpose instead of a (20 ms) dynamic gather.
-            nblocks = chains // (sub * 128)
-            idx = (
-                order.reshape(nblocks, sub, 128, CHUNK)
-                .transpose(3, 1, 0, 2)
-                .reshape(n)
-            )
-            G16 = jnp.take(PXY16, idx, axis=0)  # [n, 64] u16 rows
-            G = jax.lax.bitcast_convert_type(
-                G16.reshape(n, 32, 2), jnp.uint32
-            )  # [n, 32]
-            lanes = nblocks * 128
-            # NOTE: fv.transpose_u32 (Mosaic) wins in isolation (7.6 vs
-            # 12 ms) but loses in-pipeline (749 vs 717 ms total) — XLA
-            # fuses the bitcast into its own transpose here.
-            Tc = jnp.transpose(G, (1, 0)).reshape(32, CHUNK * sub, lanes)
-            P_in, chained = (Tc[:16], Tc[16:]), True
-        else:
-            XY16 = jnp.take(PXY16, order, axis=0)  # [n, 64] u16 rows
-            XY = jax.lax.bitcast_convert_type(
-                XY16.reshape(n, 32, 2), jnp.uint32
-            )  # [n, 32]
-            Xf = jnp.transpose(XY[:, :16], (1, 0))  # [16, n]
-            Yf = jnp.transpose(XY[:, 16:], (1, 0))
-            P_in, chained = (Xf, Yf), False
-
+        sd = sorted_ops[0]
         # T[v] = prefix at last index with digit <= v (identity if none) —
-        # gathered from local prefixes + per-chain offsets, no full prefix;
-        # affine (x, y) input selects the mixed-add scan kernel
+        # gathered from local prefixes + per-chain offsets, no full prefix
         tails = (
             jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.uint16), side="right")
             - 1
         )
         safe = jnp.clip(tails, 0, n - 1)
-        T = _prefix_at(P_in, n, safe, chained=chained, sub=sub)  # [16, V]
+        if fast:
+            # sorted limb planes feed the rank-major scan kernel directly
+            T = _rank_prefix_at(sorted_ops[1:17], sorted_ops[17:33], n, safe)
+        else:
+            S = jnp.stack(sorted_ops[1:], axis=0)  # [32, n] rank-major
+            full = _prefix_scan(_with_ones_z((S[:16], S[16:]), n), n)
+            T = tuple(jnp.take(a, safe, axis=1) for a in full)
         none_mask = (tails < 0)[None, :]
         T = (
             jnp.where(none_mask, one[:, None], T[0]),
@@ -346,7 +303,7 @@ def _msm_window_partials(PX, PY, scalars, c: int):
             )
             for a in T
         )
-        sum_t = _chained_reduce(Tpad, V)
+        sum_t = _rank_reduce(Tpad, V)
         out = jnp.stack(
             [
                 jnp.concatenate(t_max, 0)[:, 0],
