@@ -83,3 +83,61 @@ def test_fused_ntt_dispatch_small_k(rng):
     )
     assert np.array_equal(np.asarray(ntt_fused(a, k, omega)), np.asarray(ntt(a, k, omega)))
     assert np.array_equal(np.asarray(intt_fused(a, k, omega)), np.asarray(intt(a, k, omega)))
+
+
+def test_dif_ntt_matches_oracle(rng):
+    """The DIF (glue-free) pipeline of ntt_pallas — natural-order passes,
+    per-level row-permuted cross twiddles, one final digit-reversal gather
+    — must be bit-identical to the portable DIT oracle.  Runs eagerly: the
+    unrolled portable pass graph takes >15 min to compile under XLA-CPU but
+    ~1 min to execute op-by-op.  k=15 exercises the 'lanes' + base ('none')
+    pass modes; the Mosaic lowering itself is validated on-chip
+    (scripts/tpu_checks.py)."""
+    import jax
+
+    from halo2_tpu.field.bn254 import FR_ROOT_OF_UNITY, FR_S
+    from halo2_tpu.poly import ntt_pallas as nt
+    from halo2_tpu.poly.ntt import ntt
+
+    k = 15
+    n = 1 << k
+    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - k), FR_MOD)
+    a = jnp.asarray(
+        ints_to_mont_limbs([int(x) for x in rng.integers(0, 2**63, size=n)], FR_MOD)
+    )
+    want = np.asarray(ntt(a, k, omega))
+    with jax.disable_jit():
+        v = vec.to_vec(a)
+        out = nt.ntt_vec(v.reshape(nt.L, -1), k, omega)
+        got = np.asarray(vec.from_vec(out.reshape(nt.L, -1, nt.LANES), n))
+        assert np.array_equal(got, want)
+        back = nt.ntt_vec(
+            vec.to_vec(jnp.asarray(got)).reshape(nt.L, -1), k, omega, inverse=True
+        )
+        gi = np.asarray(vec.from_vec(back.reshape(nt.L, -1, nt.LANES), n))
+        assert np.array_equal(gi, np.asarray(a))
+
+
+@pytest.mark.slow
+def test_dif_ntt_percol_mode(rng):
+    """k=17's plan includes a B=256 'percol' level — the remaining DIF pass
+    mode not covered at k=15."""
+    import jax
+
+    from halo2_tpu.field.bn254 import FR_ROOT_OF_UNITY, FR_S
+    from halo2_tpu.poly import ntt_pallas as nt
+    from halo2_tpu.poly.ntt import ntt
+
+    k = 17
+    n = 1 << k
+    omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - k), FR_MOD)
+    assert any(B > 1 and M2 for (M, B, R, M2, _, _) in nt._plan(k, omega, 1))
+    a = jnp.asarray(
+        ints_to_mont_limbs([int(x) for x in rng.integers(0, 2**63, size=n)], FR_MOD)
+    )
+    want = np.asarray(ntt(a, k, omega))
+    with jax.disable_jit():
+        v = vec.to_vec(a)
+        out = nt.ntt_vec(v.reshape(nt.L, -1), k, omega)
+        got = np.asarray(vec.from_vec(out.reshape(nt.L, -1, nt.LANES), n))
+    assert np.array_equal(got, want)
