@@ -109,20 +109,15 @@ def _cross_twiddles(omega_m: int, R: int, M2: int, scale: int):
 # ---------------------------------------------------------------------------
 
 
-def _pass_body(x, ts, t, R: int, p16, n0inv, roll=None, dif: bool = False):
+def _pass_body(x, ts, t, R: int, p16, n0inv, roll=None):
     """Shared math for one radix pass: x = list of 16 [R, nb] limb arrays,
     ts = list of 16 [R, 3] stage-twiddle planes (see _stage_twiddles),
     t = final-twiddle limb list ([R, nb], [R, 1]) or None.
 
-    dif=False: decimation-in-time — expects rows pre-permuted to
-    bit-reversed order, produces natural-order rows.
-    dif=True: decimation-in-frequency (Gentleman-Sande, e = lo + hi,
-    o = (lo - hi) * w) — consumes NATURAL row order and produces
-    BIT-REVERSED rows, so no bit-reverse gather is needed between levels;
-    callers must row-permute the cross twiddle t (and account for the
-    composed digit-reversal once, at the top level).  Both directions use
-    the same stage-twiddle tables (stage s multiplies by omega_R^{j*R/m},
-    j < m/2, either before the add (DIT) or after the subtract (DIF)).
+    Decimation-in-time: expects rows pre-permuted to bit-reversed order,
+    produces natural-order rows.  (A Gentleman-Sande DIF variant was
+    measured 2.5x slower in the butterflies and needed a 147 ms composed
+    digit-reversal gather at 2^22; see git history.)
 
     Stages with half < 8 (m <= 8) butterfly the full [R, nb] value via
     circular sublane rolls + a row mask — the reshape formulation would
@@ -131,8 +126,7 @@ def _pass_body(x, ts, t, R: int, p16, n0inv, roll=None, dif: bool = False):
     axis) must behave like jnp.roll (out[i] = in[i - shift])."""
     log_r = R.bit_length() - 1
     nb = x[0].shape[-1]
-    stages = range(log_r, 0, -1) if dif else range(1, log_r + 1)
-    for s in stages:
+    for s in range(1, log_r + 1):
         m = 1 << s
         half = m >> 1
         off = half - 1
@@ -142,26 +136,15 @@ def _pass_body(x, ts, t, R: int, p16, n0inv, roll=None, dif: bool = False):
             twrow = None
             if s > 1:
                 twrow = [v[:, s - 1 : s] for v in ts]  # [R, 1] per-row
-            if dif:
-                up = [roll(v, -half, 0) for v in x]  # x[r + half] at row r
-                down = [roll(v, half, 0) for v in x]  # x[r - half]
-                e = fv._add_body(x, up, p16)
-                d = fv._sub_body(down, x, p16)
-                o = (
-                    d
-                    if twrow is None
-                    else fv._redc(fv._comba_columns(d, twrow), p16, n0inv)
-                )
-            else:
-                tt = (
-                    x
-                    if twrow is None  # stage-1 twiddle is omega^0 = 1
-                    else fv._redc(fv._comba_columns(x, twrow), p16, n0inv)
-                )
-                up = [roll(v, -half, 0) for v in tt]  # tt[r + half] at row r
-                down = [roll(v, half, 0) for v in x]  # x[r - half] at row r
-                e = fv._add_body(x, up, p16)
-                o = fv._sub_body(down, tt, p16)
+            tt = (
+                x
+                if twrow is None  # stage-1 twiddle is omega^0 = 1
+                else fv._redc(fv._comba_columns(x, twrow), p16, n0inv)
+            )
+            up = [roll(v, -half, 0) for v in tt]  # tt[r + half] at row r
+            down = [roll(v, half, 0) for v in x]  # x[r - half] at row r
+            e = fv._add_body(x, up, p16)
+            o = fv._sub_body(down, tt, p16)
             x = [jnp.where(is_lo, a, b) for a, b in zip(e, o)]
             continue
         lo = [v.reshape(R // m, m, nb)[:, :half, :] for v in x]
@@ -169,18 +152,13 @@ def _pass_body(x, ts, t, R: int, p16, n0inv, roll=None, dif: bool = False):
         tw = None
         if s > 1:
             tw = [v[off : off + half, 0:1][None, :, :] for v in ts]  # [1,half,1]
-        if dif:
-            e = fv._add_body(lo, hi, p16)
-            d = fv._sub_body(lo, hi, p16)
-            o = d if tw is None else fv._redc(fv._comba_columns(d, tw), p16, n0inv)
-        else:
-            tt = (
-                hi
-                if tw is None  # stage-1 twiddle is omega^0 = 1
-                else fv._redc(fv._comba_columns(hi, tw), p16, n0inv)
-            )
-            e = fv._add_body(lo, tt, p16)
-            o = fv._sub_body(lo, tt, p16)
+        tt = (
+            hi
+            if tw is None  # stage-1 twiddle is omega^0 = 1
+            else fv._redc(fv._comba_columns(hi, tw), p16, n0inv)
+        )
+        e = fv._add_body(lo, tt, p16)
+        o = fv._sub_body(lo, tt, p16)
         x = [jnp.concatenate([a, b], axis=1).reshape(R, nb) for a, b in zip(e, o)]
     if t is not None:
         x = fv._redc(fv._comba_columns(x, t), p16, n0inv)
@@ -193,7 +171,6 @@ def _jnp_roll(a, shift, axis):
 
 def _pass_jnp(
     spec: FieldSpec, R: int, tw_mode: str, B: int, xb, ts, tw=None,
-    dif: bool = False,
 ):
     """XLA fallback for non-TPU backends: same math, full arrays at once."""
     p16, n0inv = fv._field_consts(spec)
@@ -211,26 +188,24 @@ def _pass_jnp(
         ]
     elif tw_mode == "const":
         t = [tw[i] for i in range(L)]  # [R, 1] broadcasts
-    out = _pass_body(x, tsl, t, R, p16, n0inv, roll=_jnp_roll, dif=dif)
+    out = _pass_body(x, tsl, t, R, p16, n0inv, roll=_jnp_roll)
     return jnp.stack(out)
 
 
 @functools.lru_cache(maxsize=None)
 def _pass_call(
     spec: FieldSpec, R: int, n_batch: int, tw_mode: str, B: int = 0, M2: int = 0,
-    dif: bool = False, out_t: bool = False,
+    out_t: bool = False,
 ):
-    """One fused kernel: log2(R) butterfly stages along the sublane axis
+    """One fused kernel: log2(R) DIT butterfly stages along the sublane axis
     plus, unless tw_mode is 'none', the cross-level twiddle multiply.
+    Input rows must be pre-permuted to bit-reversed order (an XLA take of a
+    256-entry index — Mosaic cannot gather across sublane vregs in-kernel,
+    so the take stays outside; its rows are 64 KB contiguous and cheap).
 
-    dif=False: DIT — input pre-permuted to bit-reversed row order.
-    dif=True:  DIF — natural row order in, bit-reversed rows out (callers
-               pass a row-permuted T and fix the composed digit reversal
-               once at the top level — see _ntt_axis_dif).
-
-    out_t=True additionally absorbs the inter-level (R, M2) -> (M2, R)
-    transpose into the OUTPUT BlockSpec, so the next level reads its
-    natural layout with no HBM relayout pass at all:
+    out_t=True absorbs the inter-level (R, M2) -> (M2, R) transpose into
+    the OUTPUT BlockSpec, so the next level reads its natural layout with
+    no HBM relayout pass at all:
       'lanes'  — output [L, M2, R]: the kernel transposes its [R, 128]
                  block in VMEM and writes a (L, 128, R) block
       'percol' — output [L, M2, R, B]: pure index-map relayout, the block
@@ -248,7 +223,6 @@ def _pass_call(
     p16, n0inv = fv._field_consts(spec)
     has_tw = tw_mode != "none"
     assert not out_t or tw_mode in ("lanes", "percol")
-
     def mosaic_roll(a, shift, axis):
         return pltpu.roll(a, shift=shift % a.shape[axis], axis=axis)
 
@@ -265,7 +239,7 @@ def _pass_call(
             t = [t_ref[i, 0] for i in range(L)]  # 4D T: [R, 1]
         else:
             t = [t_ref[i] for i in range(L)]  # [R, 128] or [R, 1]
-        out = _pass_body(x, ts, t, R, p16, n0inv, roll=mosaic_roll, dif=dif)
+        out = _pass_body(x, ts, t, R, p16, n0inv, roll=mosaic_roll)
         if not out_t:
             for i in range(L):
                 o_ref[i] = out[i]
@@ -330,7 +304,7 @@ def _pass_call(
 
     def call(x, ts, t=None):
         if fv._interpret():
-            y = _pass_jnp(spec, R, tw_mode, B, x, ts, t, dif=dif)
+            y = _pass_jnp(spec, R, tw_mode, B, x, ts, t)
             if out_t:  # emulate the fused transpose write
                 nb = x.shape[2]
                 if tw_mode == "lanes":
@@ -410,117 +384,44 @@ def _tw_args(k: int, omega: int, scale: int):
     return tuple(args)
 
 
-@functools.lru_cache(maxsize=None)
-def _digit_rev_perm(k: int, omega: int, scale: int) -> np.ndarray:
-    """pos[k] for the DIF pipeline: the composed per-level bit reversals.
-
-    Each level's DIF pass leaves its output digit in bit-reversed order
-    (rows, then riding along as batch), so the final flat array stores
-    natural index k = sum_i k_i * W_i (W_i = prod of earlier radices) at
-    position sum_i brev(k_i) * W_i.  One gather at the end restores natural
-    order — replacing the per-level bit-reverse takes of the DIT pipeline."""
-    n = 1 << k
-    ks = np.arange(n, dtype=np.int64)
-    rem = ks.copy()
-    pos = np.zeros(n, dtype=np.int64)
-    w = 1
-    for (M, B, R, M2, om, sc) in _plan(k, omega, scale):
-        log_r = R.bit_length() - 1
-        rev = np.asarray(_bitrev_perm(log_r), dtype=np.int64)
-        d = rem % R
-        rem //= R
-        pos += rev[d] * w
-        w *= R
-    return pos.astype(np.int32)
-
-
-@functools.lru_cache(maxsize=None)
-def _tw_args_dif(k: int, omega: int, scale: int):
-    """Device tables for the DIF pipeline: per-level cross twiddles with
-    their k1 axis pre-permuted to the pass output's bit-reversed row order,
-    plus the final digit-reversal gather index as the last element."""
-    args = []
-    for (M, B, R, M2, om, sc) in _plan(k, omega, scale):
-        log_r = R.bit_length() - 1
-        rev = np.asarray(_bitrev_perm(log_r), dtype=np.int64)
-        if M == R:
-            # scale table rows are identical (omega = 1): no permute needed
-            args.append(
-                jnp.asarray(_cross_twiddles(1, R, 1, sc)) if sc != 1 else None
-            )
-        elif B == 1:
-            tw = _cross_twiddles(om, R, M2, sc)  # [L, R, M2]
-            args.append(jnp.asarray(tw[:, rev, :]))
-        else:
-            tw = _cross_twiddles(om, R, M2, sc)
-            tw = np.transpose(tw, (0, 2, 1))[:, :, :, None]  # [L, M2, R, 1]
-            args.append(jnp.asarray(tw[:, :, rev]))
-    args.append(jnp.asarray(_digit_rev_perm(k, omega, scale)))
-    return tuple(args)
-
-
-def _ntt_axis_dif(x, levels, tws):
-    """DIF recursion: natural-order input, no inter-level glue at all —
-    each pass consumes natural rows (pure reshape of the previous level's
-    output) and its output BlockSpec writes the (M2, R) transpose directly.
-    The composed digit reversal is fixed by ONE gather at the top level
-    (see ntt_vec)."""
-    (M, B, R, M2, om, sc), *rest = levels
-    tw, *tw_rest = tws
-    omega_r = pow(om, M // R, FR_MOD)
-    ts = _stage_twiddles(omega_r, R)
-
-    if M == R:
-        if tw is not None:
-            return _pass_call(FR, R, B, "const", dif=True)(x, ts, tw)
-        return _pass_call(FR, R, B, "none", dif=True)(x, ts)
-
-    xb = x.reshape(L, R, M2 * B)
-    if B == 1:
-        y = _pass_call(FR, R, M2 * B, "lanes", dif=True, out_t=True)(xb, ts, tw)
-    else:
-        y = _pass_call(FR, R, M2 * B, "percol", B, M2, dif=True, out_t=True)(
-            xb, ts, tw
-        )
-    return _ntt_axis_dif(y.reshape(L, M2, R * B), rest, tw_rest)
-
-
 def _ntt_axis(x, levels, tws):
-    """NTT along axis 1 of x [16, M, B] following the static plan; the
-    cross-twiddle arrays arrive as traced arguments, not constants."""
+    """DIT recursion over x [16, M, B] with half the old glue absorbed:
+    each level's bit-reverse row permutation stays an XLA-level take of a
+    256-entry index over 64 KB-contiguous rows (Mosaic cannot gather
+    across sublane vregs in-kernel), but the inter-level (R, M2) -> (M2, R)
+    transpose rides the pass kernel's output BlockSpec (out_t), and the
+    output comes out in natural order with no final permutation.
+
+    (Measured at 2^22 on v5e: take+transpose XLA glue cost ~12.5 ms per
+    level boundary; a Gentleman-Sande DIF variant removed all glue but its
+    butterflies ran 2.5x slower and the composed digit-reversal gather
+    cost 147 ms — DIT + fused output transpose keeps the fast butterflies
+    and pays only the takes.)"""
     (M, B, R, M2, om, sc), *rest = levels
     tw, *tw_rest = tws
-    log_r = R.bit_length() - 1
     omega_r = pow(om, M // R, FR_MOD)
     ts = _stage_twiddles(omega_r, R)
-    rev = _bitrev_perm(log_r)
+    rev = jnp.asarray(np.asarray(_bitrev_perm(R.bit_length() - 1)))
 
     if M == R:
-        xb = jnp.take(x, jnp.asarray(rev), axis=1)
+        xb = jnp.take(x, rev, axis=1)
         if tw is not None:
             return _pass_call(FR, R, B, "const")(xb, ts, tw)
         return _pass_call(FR, R, B, "none")(xb, ts)
 
     x4 = x.reshape(L, R, M2, B)
-    xb = jnp.take(x4, jnp.asarray(rev), axis=1).reshape(L, R, M2 * B)
+    xb = jnp.take(x4, rev, axis=1).reshape(L, R, M2 * B)
     if B == 1:
         assert M2 % LANES == 0, (M, R, M2)
-        y = _pass_call(FR, R, M2 * B, "lanes")(xb, ts, tw)
+        y = _pass_call(FR, R, M2 * B, "lanes", out_t=True)(xb, ts, tw)
     else:
-        y = _pass_call(FR, R, M2 * B, "percol", B, M2)(xb, ts, tw)
-    # transpose (R, M2) -> (M2, R) and recurse on m2 with batch (R, B)
-    y = y.reshape(L, R, M2, B).transpose(0, 2, 1, 3).reshape(L, M2, R * B)
-    z = _ntt_axis(y, rest, tw_rest)
-    # natural order: k = k1 + R*k2 -> flatten (k2, k1) major-to-minor
-    return z.reshape(L, M, B)
+        y = _pass_call(FR, R, M2 * B, "percol", B, M2, out_t=True)(xb, ts, tw)
+    # out_t already wrote the (M2, R) transpose: recurse on m2, batch (R, B)
+    return _ntt_axis(y.reshape(L, M2, R * B), rest, tw_rest)
 
 
 def ntt_vec(xv, k: int, omega: int, inverse: bool = False, tws=None):
-    """NTT (or scaled iNTT) of a [16, n] flat vec-layout array.
-
-    Runs the DIF pipeline: no bit-reverse takes or transposes between pass
-    kernels (the DIT pipeline spent ~12.5 ms per level boundary on XLA
-    take+transpose at k=22); one digit-reversal gather at the end."""
+    """NTT (or scaled iNTT) of a [16, n] flat vec-layout array."""
     n = 1 << k
     assert k >= MIN_FUSED_K, f"fused NTT needs k >= {MIN_FUSED_K}, got {k}"
     assert xv.shape == (L, n) or xv.shape == (L, n // LANES, LANES)
@@ -531,10 +432,9 @@ def ntt_vec(xv, k: int, omega: int, inverse: bool = False, tws=None):
     else:
         scale = 1
     if tws is None:
-        tws = _tw_args_dif(k, omega, scale)  # constants if called in a trace
-    *level_tws, pos = tws
-    out = _ntt_axis_dif(x, _plan(k, omega, scale), level_tws)
-    return jnp.take(out.reshape(L, n), pos, axis=1)
+        tws = _tw_args(k, omega, scale)  # constants if called in a trace
+    out = _ntt_axis(x, _plan(k, omega, scale), list(tws))
+    return out.reshape(L, n)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "omega", "inverse"))
@@ -546,9 +446,9 @@ def _ntt_jit_inner(a, tws, k: int, omega: int, inverse: bool):
 
 def _ntt_jit(a, k: int, omega: int, inverse: bool):
     if inverse:
-        tws = _tw_args_dif(k, pow(omega, -1, FR_MOD), pow(1 << k, -1, FR_MOD))
+        tws = _tw_args(k, pow(omega, -1, FR_MOD), pow(1 << k, -1, FR_MOD))
     else:
-        tws = _tw_args_dif(k, omega, 1)
+        tws = _tw_args(k, omega, 1)
     return _ntt_jit_inner(a, tws, k, omega, inverse)
 
 

@@ -46,7 +46,7 @@ def main():
     omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - k), FR_MOD)
     levels = nt._plan(k, omega, 1)
     log(f"plan: {[(M, B, R, M2) for (M, B, R, M2, _, _) in levels]}")
-    tws = nt._tw_args_dif(k, omega, 1)  # _ntt_jit_inner runs the DIF pipeline
+    tws = nt._tw_args(k, omega, 1)
 
     rng = np.random.default_rng(5)
     mk = lambda s: jnp.asarray(

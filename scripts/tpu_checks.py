@@ -9,6 +9,8 @@ against independent ground truth.  Run (takes ~10 min, mostly compiles):
 """
 
 import sys
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
 import time
 
 import numpy as np
