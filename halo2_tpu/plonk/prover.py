@@ -33,7 +33,7 @@ from ..frontend import synthesize
 from ..poly.ops import eval_polys_at, scalar_mont
 from ..transcript import Blake2bWrite
 from ..utils.profiling import PhaseTimer
-from . import lookup as lookup_arg
+from . import lookup_dev
 from .evaluation import quotient_ext
 from .keygen import ProvingKey
 from .permutation import z_polys
@@ -120,30 +120,35 @@ def create_proof(
     timer.mark("prove.advice")
 
     # ---- theta; lookup permuted columns -----------------------------------------------
+    # witness generation runs on device (lookup_dev): expression eval +
+    # theta-fold, 16-key lexicographic sort, permuted-pair construction and
+    # (after beta/gamma) the z prefix scan.  Values are identical to the host
+    # path in plonk/lookup.py (tests cross-check them).
     theta = transcript.squeeze_challenge()
-    fixed_host = asg.fixed
 
-    def _inst(col, row):
-        vals = instance_full[col] if instance_full else []
-        return vals[row % n] % FR_MOD if row % n < len(vals) else 0
-
-    lookups_data = []  # per lookup: dict with host lists + device arrays
+    lookups_data = []  # per lookup: device arrays
     for (_name, pairs) in cs.lookups:
-        A = lookup_arg.compress_rows(
-            [i for i, _ in pairs], theta, n, advice_cols, fixed_host, _inst
+        A_dev = lookup_dev.compress_lagrange(
+            [i for i, _ in pairs], theta, pk.fixed_lagrange, advice_lagrange,
+            instance_lagrange, n,
         )
-        S = lookup_arg.compress_rows(
-            [t for _, t in pairs], theta, n, advice_cols, fixed_host, _inst
+        S_dev = lookup_dev.compress_lagrange(
+            [t for _, t in pairs], theta, pk.fixed_lagrange, advice_lagrange,
+            instance_lagrange, n,
         )
-        a_perm, s_perm = lookup_arg.permute_pair(A, S, u)
-        a_perm = a_perm + rng.field_elements(n - u)
-        s_perm = s_perm + rng.field_elements(n - u)
-        a_dev = jnp.asarray(ints_to_mont_limbs(a_perm, FR_MOD))
-        s_dev = jnp.asarray(ints_to_mont_limbs(s_perm, FR_MOD))
+        ap_u, sp_u = lookup_dev.permute_pair_dev(A_dev, S_dev, u)
+        a_blind = jnp.asarray(
+            ints_to_mont_limbs(rng.field_elements(n - u), FR_MOD)
+        )
+        s_blind = jnp.asarray(
+            ints_to_mont_limbs(rng.field_elements(n - u), FR_MOD)
+        )
+        a_dev = jnp.concatenate([ap_u, a_blind], axis=0)
+        s_dev = jnp.concatenate([sp_u, s_blind], axis=0)
         transcript.write_point(g1.point_to_host(params.commit_lagrange(a_dev)))
         transcript.write_point(g1.point_to_host(params.commit_lagrange(s_dev)))
         lookups_data.append(
-            {"A": A, "S": S, "a_perm": a_perm, "s_perm": s_perm,
+            {"A_dev": A_dev, "S_dev": S_dev, "ap_u": ap_u, "sp_u": sp_u,
              "a_dev": a_dev, "s_dev": s_dev}
         )
 
@@ -173,12 +178,13 @@ def create_proof(
 
     # ---- lookup grand products ---------------------------------------------------------
     for ld in lookups_data:
-        z_rows = lookup_arg.grand_product(
-            ld["A"], ld["S"], ld["a_perm"], ld["s_perm"], beta, gamma, u
+        z_u = lookup_dev.lookup_z_dev(
+            ld["A_dev"], ld["S_dev"], ld["ap_u"], ld["sp_u"], beta, gamma, u
+        )  # [u+1, 16]
+        z_blind = jnp.asarray(
+            ints_to_mont_limbs(rng.field_elements(n - (u + 1)), FR_MOD)
         )
-        z_rows = z_rows + rng.field_elements(n - len(z_rows))
-        ld["z_rows"] = z_rows
-        ld["z_dev"] = jnp.asarray(ints_to_mont_limbs(z_rows, FR_MOD))
+        ld["z_dev"] = jnp.concatenate([z_u, z_blind], axis=0)
         transcript.write_point(
             g1.point_to_host(params.commit_lagrange(ld["z_dev"]))
         )

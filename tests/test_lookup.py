@@ -39,6 +39,47 @@ def test_grand_product_telescopes():
     assert z[4] == 1  # multiset equality
 
 
+def test_permute_pair_dev_matches_host():
+    """Device permute-pair + z (plonk/lookup_dev.py, now the prover's path)
+    produce exactly the host reference values on random data."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from halo2_tpu.field import FR, mont
+    from halo2_tpu.field.bn254 import FR_MOD
+    from halo2_tpu.field.limbs import ints_to_mont_limbs, mont_limbs_to_int
+    from halo2_tpu.plonk import lookup_dev
+
+    rng = np.random.default_rng(7)
+    u = 61
+    n = 64
+    # table: random values incl. duplicates; input drawn from the table
+    table = [int(x) * (FR_MOD // 97) % FR_MOD for x in rng.integers(0, 40, u)]
+    inp = [table[int(i)] for i in rng.integers(0, u, u)]
+    a_host, s_host = permute_pair(inp, table, u)
+
+    A_m = jnp.asarray(ints_to_mont_limbs(inp + [0] * (n - u), FR_MOD))
+    S_m = jnp.asarray(ints_to_mont_limbs(table + [0] * (n - u), FR_MOD))
+    ap, sp = lookup_dev.permute_pair_dev(A_m, S_m, u)
+    ap_int = [mont_limbs_to_int(r, FR_MOD) for r in np.asarray(ap)]
+    sp_int = [mont_limbs_to_int(r, FR_MOD) for r in np.asarray(sp)]
+    assert ap_int == a_host
+    assert sp_int == s_host
+
+    beta, gamma = 0xABCD, 0x1357
+    z_host = grand_product(inp, table, a_host, s_host, beta, gamma, u)
+    z_dev = lookup_dev.lookup_z_dev(A_m, S_m, ap, sp, beta, gamma, u)
+    z_int = [mont_limbs_to_int(r, FR_MOD) for r in np.asarray(z_dev)]
+    assert z_int == z_host
+
+    # missing value raises like the host path
+    bad = jnp.asarray(ints_to_mont_limbs([12345] + inp[1:] + [0] * (n - u), FR_MOD))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lookup_dev.permute_pair_dev(bad, S_m, u)
+
+
 def test_rangecheck_mock_satisfied():
     circuit = rangecheck.create_circuit([0, 1, 77, 255, 128], bits=8)
     MockProver.run(9, circuit, instances=[]).assert_satisfied()
