@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..ec import host as ec_host
-from ..ec import jax_g1 as g1
 from ..ec.pairing import pairing_product_is_one
 from ..field.bn254 import FR_MOD
 from ..field.limbs import mont_limbs_to_int
@@ -66,7 +65,7 @@ def open_gwc(params, transcript, queries, k: int, omega: int) -> None:
         values = fft(acc, k, omega)
         zinv = z_minus_omega_inverses(k, omega, point)
         w_vals = kate_divide_eval(values, scalar_mont(ev), zinv)
-        w_commit = g1.point_to_host(params.commit_lagrange(w_vals))
+        w_commit = params.commit_lagrange_affine(w_vals)
         transcript.write_point(w_commit)
 
 

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ec import host as ec_host
-from ..ec import jax_g1 as g1
 from ..ec.pairing import pairing_product_is_one
 from ..field import FR, mont
 from ..field.bn254 import FR_MOD
@@ -127,7 +126,7 @@ def open_shplonk(params, transcript, queries, k: int, omega: int) -> None:
         H = term if H is None else mont.add(FR, H, term)
         f_data.append((acc, r_coeffs, pset))
 
-    transcript.write_point(g1.point_to_host(params.commit_lagrange(H)))
+    transcript.write_point(params.commit_lagrange_affine(H))
     u = transcript.squeeze_challenge()
 
     # L(X) = sum_j v^j Z_{T\Sj}(u) (f_j - r_j(u)) - Z_T(u) H
@@ -152,7 +151,7 @@ def open_shplonk(params, transcript, queries, k: int, omega: int) -> None:
     # witness = L / (X - u) in eval form
     denom = mont.sub(FR, pts_dev, scalar_mont(u)[None, :])
     w_vals = mont.mul(FR, L, mont.batch_inv(FR, denom))
-    transcript.write_point(g1.point_to_host(params.commit_lagrange(w_vals)))
+    transcript.write_point(params.commit_lagrange_affine(w_vals))
 
 
 def _eval_coeffs_dev(coeffs: list[int], pts_dev):

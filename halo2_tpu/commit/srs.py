@@ -190,6 +190,31 @@ class ParamsKZG:
         raw = mont.from_mont(FR, values_mont)
         return msm_mod.msm_device(self.gl_x, self.gl_y, raw)
 
+    # host-affine variants: the prover always converts commitments to host
+    # affine points for the transcript, so these dispatch the MSM to the
+    # production sort+scan pipeline (ec/msm_vec.py) on TPU at sizes where
+    # its kernels pay for themselves, and to the portable Pippenger
+    # elsewhere (identical group results either way).
+
+    def _msm_affine(self, PX, PY, raw):
+        from ..ec.msm_vec import use_vec_msm, msm_vec
+
+        if use_vec_msm(PX.shape[0]):
+            return msm_vec(PX, PY, raw)
+        return g1.point_to_host(msm_mod.msm_device(PX, PY, raw))
+
+    def commit_affine(self, coeffs_mont):
+        """commit() as a host affine point (or None)."""
+        m = coeffs_mont.shape[0]
+        raw = mont.from_mont(FR, coeffs_mont)
+        return self._msm_affine(self.g_x[:m], self.g_y[:m], raw)
+
+    def commit_lagrange_affine(self, values_mont):
+        """commit_lagrange() as a host affine point (or None)."""
+        assert values_mont.shape[0] == self.n
+        raw = mont.from_mont(FR, values_mont)
+        return self._msm_affine(self.gl_x, self.gl_y, raw)
+
     # ---- serialization ------------------------------------------------------------
 
     def write(self) -> bytes:

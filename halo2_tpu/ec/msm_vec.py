@@ -317,6 +317,13 @@ def _msm_window_partials(PX, PY, scalars, c: int):
     return outs  # [n_windows, 2, 48]
 
 
+def use_vec_msm(n: int) -> bool:
+    """The sort+scan pipeline runs on TPU for power-of-two sizes large
+    enough to amortize its kernel dispatches; elsewhere the portable
+    Pippenger (ec/msm.py) is both the fallback and the test oracle."""
+    return not fv._interpret() and n >= (1 << 15) and n & (n - 1) == 0
+
+
 def msm_vec(PX, PY, scalars, c: int | None = None):
     """Full MSM; returns a host affine point (or None).
 

@@ -23,7 +23,6 @@ import numpy as np
 
 from ..commit.srs import ParamsKZG
 from ..ec import host as ec_host
-from ..ec import jax_g1 as g1
 from ..field.bn254 import FR_MOD, fr_from_u512
 from ..field.limbs import ints_to_mont_limbs
 from ..frontend import ConstraintSystem, synthesize
@@ -116,7 +115,7 @@ def _lagrange_delta(n: int, row: int) -> list:
 def _commit_columns(params: ParamsKZG, values_dev) -> list:
     """Commit each row of a [m, n, 16] Lagrange array; returns host points."""
     return [
-        g1.point_to_host(params.commit_lagrange(values_dev[i]))
+        (params.commit_lagrange_affine(values_dev[i]))
         for i in range(values_dev.shape[0])
     ]
 

@@ -25,7 +25,6 @@ import numpy as np
 
 from ..commit import gwc, shplonk
 from ..commit.srs import ParamsKZG
-from ..ec import jax_g1 as g1
 from ..field import FR, mont
 from ..field.bn254 import FR_MOD
 from ..field.limbs import ints_to_mont_limbs, mont_limbs_to_int
@@ -113,7 +112,7 @@ def create_proof(
         advice_cols.append(vals)
     advice_lagrange = _to_device_columns(advice_cols, n)
     for i in range(cs.num_advice):
-        com = g1.point_to_host(params.commit_lagrange(advice_lagrange[i]))
+        com = params.commit_lagrange_affine(advice_lagrange[i])
         transcript.write_point(com)
     advice_coeff = dom.lagrange_to_coeff(advice_lagrange)
     advice_ext = dom.coeff_to_extended(advice_coeff)
@@ -145,8 +144,8 @@ def create_proof(
         )
         a_dev = jnp.concatenate([ap_u, a_blind], axis=0)
         s_dev = jnp.concatenate([sp_u, s_blind], axis=0)
-        transcript.write_point(g1.point_to_host(params.commit_lagrange(a_dev)))
-        transcript.write_point(g1.point_to_host(params.commit_lagrange(s_dev)))
+        transcript.write_point(params.commit_lagrange_affine(a_dev))
+        transcript.write_point(params.commit_lagrange_affine(s_dev))
         lookups_data.append(
             {"A_dev": A_dev, "S_dev": S_dev, "ap_u": ap_u, "sp_u": sp_u,
              "a_dev": a_dev, "s_dev": s_dev}
@@ -174,7 +173,7 @@ def create_proof(
             blinded.append(z)
         zs = blinded
         for z in zs:
-            transcript.write_point(g1.point_to_host(params.commit_lagrange(z)))
+            transcript.write_point(params.commit_lagrange_affine(z))
 
     # ---- lookup grand products ---------------------------------------------------------
     for ld in lookups_data:
@@ -186,7 +185,7 @@ def create_proof(
         )
         ld["z_dev"] = jnp.concatenate([z_u, z_blind], axis=0)
         transcript.write_point(
-            g1.point_to_host(params.commit_lagrange(ld["z_dev"]))
+            (params.commit_lagrange_affine(ld["z_dev"]))
         )
 
     timer.mark("prove.grand_products")
@@ -194,7 +193,7 @@ def create_proof(
     # ---- vanishing: random poly, y, quotient -------------------------------------------
     random_coeffs = rng.field_elements(n)
     random_poly = jnp.asarray(ints_to_mont_limbs(random_coeffs, FR_MOD))
-    transcript.write_point(g1.point_to_host(params.commit(random_poly)))
+    transcript.write_point(params.commit_affine(random_poly))
     y = transcript.squeeze_challenge()
 
     z_coeffs = [dom.lagrange_to_coeff(z) for z in zs]
@@ -223,7 +222,7 @@ def create_proof(
     qd = cs.degree() - 1
     h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(qd)]
     for piece in h_pieces:
-        transcript.write_point(g1.point_to_host(params.commit(piece)))
+        transcript.write_point(params.commit_affine(piece))
 
     timer.mark("prove.quotient")
 

@@ -53,12 +53,15 @@ class Domain:
         self.g_coset_inv = pow(FR_ZETA, 2, FR_MOD)  # zeta^2 = zeta^{-1}
 
     # ---- basis conversions (device arrays [..., n, 16], Montgomery) --------
+    # Large domains on TPU route through the fused Pallas pipeline
+    # (poly/ntt_pallas.py, bit-identical); the portable per-stage NTT is the
+    # fallback and the CPU test oracle.
 
     def lagrange_to_coeff(self, values):
-        return _ntt.intt(values, self.k, self.omega)
+        return _apply_ntt(values, self.k, self.omega, inverse=True)
 
     def coeff_to_lagrange(self, coeffs):
-        return _ntt.ntt(coeffs, self.k, self.omega)
+        return _apply_ntt(coeffs, self.k, self.omega, inverse=False)
 
     def coeff_to_extended(self, coeffs):
         """Evaluate p over the extended coset zeta * <omega_ext>.
@@ -71,7 +74,8 @@ class Domain:
 
     def extended_to_coeff(self, values):
         """Inverse of coeff_to_extended; returns extended_n coefficients."""
-        coeffs = _ntt.intt(values, self.extended_k, self.extended_omega)
+        coeffs = _apply_ntt(values, self.extended_k, self.extended_omega,
+                            inverse=True)
         return _distribute_zeta(coeffs, True)
 
     # ---- host helpers -------------------------------------------------------
@@ -122,4 +126,17 @@ def _distribute_zeta(coeffs, inv: bool, pad: int = 0):
 
 def _coeff_to_extended(coeffs, n, extended_n, extended_k, extended_omega):
     padded = _distribute_zeta(coeffs, False, extended_n - n)
-    return _ntt.ntt(padded, extended_k, extended_omega)
+    return _apply_ntt(padded, extended_k, extended_omega, inverse=False)
+
+
+def _apply_ntt(arr, k: int, omega: int, inverse: bool):
+    """Dispatch [..., n, 16] (optionally batched on a leading axis) to the
+    fused TPU pipeline or the portable NTT."""
+    from . import ntt_pallas as _fused
+
+    if not _fused.use_fused(k):
+        return _ntt.intt(arr, k, omega) if inverse else _ntt.ntt(arr, k, omega)
+    if arr.ndim == 2:
+        return _fused._ntt_jit(arr, k, omega, inverse)
+    out = [_fused._ntt_jit(arr[i], k, omega, inverse) for i in range(arr.shape[0])]
+    return jnp.stack(out) if out else arr
