@@ -120,7 +120,7 @@ def bench_msm(k: int) -> float:
     s_np[:, 15] &= 0x2FFF
     scalars = jnp.asarray(s_np)
 
-    c = 16 if n >= (1 << 16) else 8
+    c = int(os.environ.get("BENCH_MSM_C", "0")) or (16 if n >= (1 << 16) else 8)
     t0 = time.perf_counter()
     np.asarray(_msm_window_partials(PX, PY, scalars, c))
     log(f"msm 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
