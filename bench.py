@@ -111,7 +111,10 @@ def bench_msm(k: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    from halo2_tpu.ec.msm_vec import _msm_window_partials
+    from halo2_tpu.ec.msm_vec import (
+        _msm_window_partials,
+        _msm_window_partials_glv,
+    )
 
     n = 1 << k
     PX, PY = _msm_points(k)
@@ -121,9 +124,11 @@ def bench_msm(k: int) -> float:
     scalars = jnp.asarray(s_np)
 
     c = int(os.environ.get("BENCH_MSM_C", "0")) or (16 if n >= (1 << 16) else 8)
+    glv = os.environ.get("BENCH_MSM_GLV", "1") != "0"
+    partials = _msm_window_partials_glv if glv else _msm_window_partials
     t0 = time.perf_counter()
-    np.asarray(_msm_window_partials(PX, PY, scalars, c))
-    log(f"msm 2^{k}: compile+first run {time.perf_counter()-t0:.2f}s")
+    np.asarray(partials(PX, PY, scalars, c)[0])
+    log(f"msm 2^{k} (glv={glv}): compile+first run {time.perf_counter()-t0:.2f}s")
     times = []
     for i in range(REPS):
         s_np = np.random.default_rng(100 + i).integers(
@@ -137,7 +142,7 @@ def bench_msm(k: int) -> float:
         sc = jnp.asarray(s_np)
         np.asarray(sc[:1])
         t0 = time.perf_counter()
-        np.asarray(_msm_window_partials(PX, PY, sc, c))
+        np.asarray(partials(PX, PY, sc, c)[0])
         times.append((time.perf_counter() - t0) * 1e3)
     ms = min(times)
     log(f"msm 2^{k}: {ms:.2f} ms (min of {REPS}, fresh device-resident scalars)")

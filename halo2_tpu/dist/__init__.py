@@ -9,7 +9,7 @@ partial reduction) riding ICI.
 """
 
 from .mesh import make_mesh, shard_axis
-from .msm import msm_sharded
+from .msm import msm_sharded, msm_sharded_vec
 from .ntt import intt_sharded, ntt_sharded
 from .pipeline import prove_step_sharded
 
@@ -19,5 +19,6 @@ __all__ = [
     "ntt_sharded",
     "intt_sharded",
     "msm_sharded",
+    "msm_sharded_vec",
     "prove_step_sharded",
 ]

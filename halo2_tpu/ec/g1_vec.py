@@ -252,12 +252,20 @@ def vpadd_fused(P, Q):
     return tuple(out)
 
 
-def _padd_mixed_body(p, q_xy, p16, n0inv):
+def _padd_mixed_body(p, q_xy, p16, n0inv, with_dbl: bool = True):
     """Jacobian += affine (Z2 = 1): 11 mul/sqr vs the full add's 16.
 
     q is never the identity (MSM inputs are real curve points); p may be
     (prefix could sum to O) and p == q / p == -q are handled like the full
-    add."""
+    add.
+
+    with_dbl=False drops the doubling branch (~6 of the 17 mul/sqr): in the
+    MSM rank scan the accumulator is a sum of earlier DISTINCT base points,
+    so acc == q requires a genuine curve-point collision (or a duplicated
+    base point at a chain start) — never the case for SRS point streams.
+    The caller gets (out, same_mask) back and must fall back to the safe
+    body if the mask ever fires (the nodbl result for such a lane is a
+    harmless identity, but wrong)."""
     L = fv.L
     (X1, Y1, Z1) = p
     (X2, Y2) = q_xy
@@ -292,21 +300,6 @@ def _padd_mixed_body(p, q_xy, p16, n0inv):
     Y3 = sub(mul(r, sub(V, X3)), mul(Y1, HHH))
     Z3 = mul(Z1, H)
 
-    # doubling branch on the AFFINE q (p == q case)
-    A = mul(X2, X2)
-    B = mul(Y2, Y2)
-    C = mul(B, B)
-    t = sub(mul(add(X2, B), add(X2, B)), add(A, C))
-    D = add(t, t)
-    E = add(add(A, A), A)
-    F = mul(E, E)
-    Xd = sub(F, add(D, D))
-    c2 = add(C, C)
-    c4 = add(c2, c2)
-    c8 = add(c4, c4)
-    Yd = sub(mul(E, sub(D, Xd)), c8)
-    Zd = add(Y2, Y2)
-
     p_inf = is_zero(Z1)
     h_zero = is_zero(H)
     r_zero = is_zero(r)
@@ -320,11 +313,28 @@ def _padd_mixed_body(p, q_xy, p16, n0inv):
     ident = [one_list, one_list, [jnp.zeros_like(X1[0]) for _ in range(L)]]
     q_jac = [list(X2), list(Y2), one_list]
     out = [X3, Y3, Z3]
-    dbl = [Xd, Yd, Zd]
-    out = [select(same, d, o) for d, o in zip(dbl, out)]
+    if with_dbl:
+        # doubling branch on the AFFINE q (p == q case)
+        A = mul(X2, X2)
+        B = mul(Y2, Y2)
+        C = mul(B, B)
+        t = sub(mul(add(X2, B), add(X2, B)), add(A, C))
+        D = add(t, t)
+        E = add(add(A, A), A)
+        F = mul(E, E)
+        Xd = sub(F, add(D, D))
+        c2 = add(C, C)
+        c4 = add(c2, c2)
+        c8 = add(c4, c4)
+        Yd = sub(mul(E, sub(D, Xd)), c8)
+        Zd = add(Y2, Y2)
+        dbl = [Xd, Yd, Zd]
+        out = [select(same, d, o) for d, o in zip(dbl, out)]
     out = [select(opp, i, o) for i, o in zip(ident, out)]
     out = [select(p_inf, b, o) for b, o in zip(q_jac, out)]
-    return out
+    if with_dbl:
+        return out
+    return out, same
 
 
 SCAN_CHUNK = 32
@@ -498,7 +508,7 @@ RANK_BLK = 1024  # chains per grid step (sub = 8 sublane rows)
 
 @functools.lru_cache(maxsize=None)
 def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
-                    blk: int = RANK_BLK):
+                    blk: int = RANK_BLK, nodbl: bool = False):
     """Per-chain inclusive scan consuming RANK-MAJOR input (chain c owns
     ranks c*chunk + r at [c, r] — a pure reshape of the sorted rank stream,
     so no stacking/transpose of the 128 MB point data outside the kernel).
@@ -508,6 +518,11 @@ def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
     loop over pl.ds sublane slices (one padd body, small kernel).  Outputs
     stay CHAINED: chain c = j*blk + s*128 + l holds rank c*chunk + r at
     [:, r*sub + s, j*128 + l].
+
+    nodbl (mixed only) uses the doubling-free mixed body (~35% fewer muls in
+    the serial loop) and appends a 4th output [nblocks, sub, 128]: nonzero
+    where an acc == q collision invalidated a lane — the caller must then
+    recompute through the safe body.
     """
     p16, n0inv = fv._field_consts(FQ)
     L = fv.L
@@ -515,11 +530,13 @@ def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
     ncoord = 2 if mixed else 3
     n_in = ncoord * L
     rows = chunk * sub
+    assert not (nodbl and not mixed)
 
     def kernel(*refs):
         ins = refs[:n_in]
         outs = refs[n_in : n_in + 3]
-        scratch = refs[n_in + 3 :]  # ncoord VMEM bufs [L, rows, 128]
+        flag_ref = refs[n_in + 3] if nodbl else None
+        scratch = refs[n_in + 3 + (1 if nodbl else 0) :]  # ncoord VMEM bufs
 
         for ci in range(ncoord):
             for i in range(L):
@@ -549,19 +566,28 @@ def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
             acc0 = first
         write(0, acc0)
 
-        def body(r, acc):
+        def body(r, carry):
+            acc = carry[:3]
             cur = read(r)
             pp = tuple([c[i] for i in range(L)] for c in acc)
             qq = tuple([c[i] for i in range(L)] for c in cur)
-            if mixed:
+            if nodbl:
+                out, same = _padd_mixed_body(pp, qq, p16, n0inv, with_dbl=False)
+            elif mixed:
                 out = _padd_mixed_body(pp, qq, p16, n0inv)
             else:
                 out = _padd_body_lists(pp, qq, p16, n0inv)
             nxt = tuple(jnp.stack(c) for c in out)
             write(r, nxt)
+            if nodbl:
+                return nxt + (carry[3] | same.astype(jnp.uint32),)
             return nxt
 
-        jax.lax.fori_loop(1, chunk, body, acc0)
+        if nodbl:
+            acc0 = acc0 + (jnp.zeros((sub, 128), dtype=jnp.uint32),)
+        fin = jax.lax.fori_loop(1, chunk, body, acc0)
+        if nodbl:
+            flag_ref[0] = fin[3]
 
     nblocks = chains // blk
     in_bs = pl.BlockSpec((blk, chunk), lambda j: (j, 0), memory_space=pltpu.VMEM)
@@ -569,12 +595,22 @@ def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
         (L, rows, 128), lambda j: (0, 0, j), memory_space=pltpu.VMEM
     )
     shape = jax.ShapeDtypeStruct((L, rows, nblocks * 128), jnp.uint32)
+    out_shapes = (shape, shape, shape)
+    out_specs = (out_bs, out_bs, out_bs)
+    if nodbl:
+        flag_bs = pl.BlockSpec(
+            (1, sub, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((nblocks, sub, 128), jnp.uint32),
+        )
+        out_specs = out_specs + (flag_bs,)
     return pl.pallas_call(
         kernel,
-        out_shape=(shape, shape, shape),
+        out_shape=out_shapes,
         grid=(nblocks,),
         in_specs=[in_bs] * n_in,
-        out_specs=(out_bs, out_bs, out_bs),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((L, rows, 128), jnp.uint32)] * ncoord,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,

@@ -191,29 +191,39 @@ def _device_consts():
 
 def _mul_const(x, const_limbs, out_limbs: int):
     """[..., La] u32 16-bit limbs times a small constant (python limb list)
-    -> [..., out_limbs] canonical 16-bit limbs (truncated mod 2^(16*out))."""
+    -> [..., out_limbs] canonical 16-bit limbs (truncated mod 2^(16*out)).
+
+    Comba-style: one elementwise product per nonzero constant limb, then each
+    output column is a sum of static slices (gather-only — no
+    dynamic-update-slice, which XLA lowers to full-array copies).  Column
+    sums stay < 2*len(const_limbs)*2^16 < 2^23, within _normalize's bound.
+    """
     import jax.numpy as jnp
 
     from ..field.mont import _normalize
 
     La = x.shape[-1]
-    cols = jnp.zeros(x.shape[:-1] + (out_limbs + 2,), dtype=jnp.uint32)
+    los, his = {}, {}
     for j, cl in enumerate(const_limbs):
         cl = int(cl)
         if cl == 0 or j >= out_limbs:
             continue
         p = x * np.uint32(cl)  # < 2^32
-        lo = p & MASK16
-        hi = p >> LIMB_BITS
-        width = min(La, out_limbs + 2 - j)
-        cols = cols.at[..., j : j + width].add(lo[..., :width])
-        wh = min(La, out_limbs + 2 - j - 1)
-        if wh > 0:
-            cols = cols.at[..., j + 1 : j + 1 + wh].add(hi[..., :wh])
-        # normalize every few steps to keep columns bounded far from 2^32
-        if (j & 3) == 3:
-            cols = _normalize(cols, out_limbs + 2)
-    return _normalize(cols, out_limbs)
+        los[j] = p & MASK16
+        his[j] = p >> LIMB_BITS
+    zero = jnp.zeros(x.shape[:-1], dtype=jnp.uint32)
+    cols = []
+    for k in range(out_limbs):
+        acc = None
+        for j, lo in los.items():
+            i = k - j
+            if 0 <= i < La:
+                acc = lo[..., i] if acc is None else acc + lo[..., i]
+            i -= 1
+            if 0 <= i < La:
+                acc = his[j][..., i] if acc is None else acc + his[j][..., i]
+        cols.append(zero if acc is None else acc)
+    return _normalize(jnp.stack(cols, axis=-1), out_limbs)
 
 
 def _add_limbs(a, b):
@@ -304,3 +314,186 @@ def decompose_batch(scalars):
     k1_mag, k1_neg = split(k1)
     k2_mag, k2_neg = split(k2)
     return k1_mag, k1_neg, k2_mag, k2_neg
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas decomposition (the production MSM path)
+#
+# The jnp version above keeps every ~40-limb intermediate in HBM ([n, L]
+# arrays with a tiny minor axis), so at 2^20 scalars it is bandwidth-bound
+# (~240 ms on a v5e).  The whole decomposition is ~1,500 u32 multiplies per
+# element with zero cross-element communication — one VMEM-resident kernel
+# runs it at compute speed.
+# ---------------------------------------------------------------------------
+
+
+def _k_carry(cols, width: int):
+    """Serial carry propagation of lazy columns (each < 2^22) into `width`
+    canonical 16-bit limbs (mod 2^(16*width))."""
+    import jax.numpy as jnp
+
+    out = []
+    carry = None
+    for k in range(width):
+        v = cols[k] if k < len(cols) and cols[k] is not None else None
+        if carry is not None:
+            v = carry if v is None else v + carry
+        if v is None:
+            out.append(jnp.zeros_like(cols[0]))
+            carry = None
+        else:
+            out.append(v & MASK16)
+            carry = v >> LIMB_BITS
+    return out
+
+
+def _k_mul_const(x, const_ints, out_limbs: int, add_ints=None):
+    """Limb-list [*, blocks] times a python-int limb tuple -> `out_limbs`
+    canonical limbs (exact mod 2^(16*out)).  Lazy Comba columns: each column
+    collects at most 2*min(len(x), #consts) terms < 2^22, well under u32.
+    `add_ints` (python limbs) are folded into the columns before the carry
+    pass (used for the +r/2 Barrett rounding bias)."""
+    import numpy as np
+
+    nx = len(x)
+    cols = [None] * out_limbs
+    for j, cl in enumerate(const_ints):
+        cl = int(cl)
+        if cl == 0 or j >= out_limbs:
+            continue
+        for i in range(min(nx, out_limbs - j)):
+            p = x[i] * np.uint32(cl)
+            k = i + j
+            lo = p & MASK16
+            cols[k] = lo if cols[k] is None else cols[k] + lo
+            if k + 1 < out_limbs:
+                hi = p >> LIMB_BITS
+                cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+    if add_ints is not None:
+        for k, av in enumerate(add_ints):
+            av = int(av)
+            if av == 0 or k >= out_limbs:
+                continue
+            cols[k] = np.uint32(av) if cols[k] is None else cols[k] + np.uint32(av)
+    ref = next(c for c in cols if c is not None)
+    cols = [c if c is not None else jnp.zeros_like(ref) for c in cols]
+    return _k_carry(cols, out_limbs)
+
+
+def _k_add16(a, b):
+    return _k_carry([x + y for x, y in zip(a, b)], len(a))
+
+
+def _k_neg16(a):
+    import numpy as np
+
+    inv = [(~x) & MASK16 for x in a]
+    inv[0] = inv[0] + np.uint32(1)
+    return _k_carry(inv, len(a))
+
+
+import jax.numpy as jnp  # noqa: E402  (kernel helpers above use it lazily)
+
+
+@functools.lru_cache(maxsize=1)
+def _decompose_call(rows: int):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..field import vec as fv
+
+    consts, _, _ = _device_consts()
+    m_ints = tuple(int(v) for v in consts["m"])
+    while m_ints and m_ints[-1] == 0:
+        m_ints = m_ints[:-1]
+    half_r = tuple(int(v) for v in consts["half_r"])
+    shift = BARRETT_S // LIMB_BITS  # 34
+    QL = 9  # quotient magnitude < 2^136 -> 9 limbs
+    TL = 25  # t = k*|b| + r/2 < 2^384 + 2^253
+
+    def _int_limb_tuple(v: int, count: int):
+        return tuple(int(x) for x in _int_limbs(v, count))
+
+    mul1 = tuple(int(v) for v in consts["mul1"])
+    mul2 = tuple(int(v) for v in consts["mul2"])
+    a1_l = _int_limb_tuple(consts["a1"], 9)
+    a2_l = _int_limb_tuple(consts["a2"], 9)
+    b1_l = _int_limb_tuple(consts["b1"], 9)
+    b2_l = _int_limb_tuple(consts["b2"], 9)
+
+    def kernel(x_ref, k1_ref, n1_ref, k2_ref, n2_ref):
+        k16 = [x_ref[i] for i in range(16)]
+
+        def quotient(mult):
+            t = _k_mul_const(k16, mult, TL, add_ints=half_r)
+            full = _k_mul_const(t, m_ints, shift + QL)
+            return full[shift:]
+
+        c1 = quotient(mul1)
+        c2 = quotient(mul2)
+
+        def signed_term(c, c_neg: bool, coef, coef_neg: bool):
+            prod = _k_mul_const(c, coef, 16)
+            return _k_neg16(prod) if (c_neg != coef_neg) else prod
+
+        # k1 = k - c1*a1 - c2*a2 ;  k2 = -(c1*b1 + c2*b2)   (mod 2^256)
+        s_a = _k_add16(
+            signed_term(c1, consts["mul1_neg"], a1_l, consts["a1_neg"]),
+            signed_term(c2, consts["mul2_neg"], a2_l, consts["a2_neg"]),
+        )
+        k1 = _k_add16(k16, _k_neg16(s_a))
+        k2 = _k_neg16(
+            _k_add16(
+                signed_term(c1, consts["mul1_neg"], b1_l, consts["b1_neg"]),
+                signed_term(c2, consts["mul2_neg"], b2_l, consts["b2_neg"]),
+            )
+        )
+
+        def write(mag_ref, neg_ref, v):
+            neg = v[15] >= (1 << 15)
+            negv = _k_neg16(v)
+            for i in range(16):
+                mag_ref[i] = jnp.where(neg, negv[i], v[i])
+            neg_ref[0] = neg.astype(jnp.uint32)
+
+        write(k1_ref, n1_ref, k1)
+        write(k2_ref, n2_ref, k2)
+
+    bs = pl.BlockSpec(
+        (16, fv.SUB, fv.LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    bs_flag = pl.BlockSpec(
+        (1, fv.SUB, fv.LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((16, rows, fv.LANES), jnp.uint32)
+    fshape = jax.ShapeDtypeStruct((1, rows, fv.LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, fshape, shape, fshape),
+        grid=(rows // fv.SUB,),
+        in_specs=[bs],
+        out_specs=(bs, bs_flag, bs, bs_flag),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def decompose_batch_dev(scalars):
+    """decompose_batch through the fused Pallas kernel when the backend is
+    TPU (falls back to the portable jnp version elsewhere / on ragged
+    sizes).  Same contract as decompose_batch."""
+    from ..field import vec as fv
+
+    n = scalars.shape[0]
+    if fv._interpret() or n % fv.GROUP:
+        return decompose_batch(scalars)
+    V = fv.to_vec(scalars)
+    k1m, k1n, k2m, k2n = _decompose_call(V.shape[1])(V)
+    return (
+        fv.from_vec(k1m, n),
+        k1n.reshape(-1)[:n] != 0,
+        fv.from_vec(k2m, n),
+        k2n.reshape(-1)[:n] != 0,
+    )

@@ -37,9 +37,9 @@ from . import g1_vec as gv
 SCALAR_BITS = 256
 
 
-def _digits(scalars, c: int):
+def _digits(scalars, c: int, bits: int = SCALAR_BITS):
     """[n, 16] raw scalar limbs -> [n_windows, n] int32 digits."""
-    n_windows = (SCALAR_BITS + c - 1) // c
+    n_windows = (bits + c - 1) // c
     outs = []
     for w in range(n_windows):
         bit0 = w * c
@@ -131,24 +131,30 @@ def _tot_flat(pref, chains: int, blk: int):
     )
 
 
-def _rank_local_scan(xcols, ycols, n: int):
+def _rank_local_scan(xcols, ycols, n: int, nodbl: bool = False):
     """Chain scan over the 32 sort-payload limb planes (rank-major input —
     a pure [n] -> [chains, CHUNK] reshape per plane, no stacking copy).
     Returns (pref coords in CHAINED layout, chain_offsets flat [16, chains]
-    exclusive, blk)."""
+    exclusive, blk, flag) — flag is a uint32 scalar, nonzero iff the
+    doubling-free body hit an acc == q collision (always 0 when
+    nodbl=False)."""
     CHUNK = gv.SCAN_CHUNK
     chains = n // CHUNK
     blk = min(gv.RANK_BLK, chains)
     ins = [c.reshape(chains, CHUNK) for c in xcols] + [
         c.reshape(chains, CHUNK) for c in ycols
     ]
-    pref = gv._rank_scan_call(CHUNK, chains, mixed=True, blk=blk)(*ins)
+    out = gv._rank_scan_call(CHUNK, chains, mixed=True, blk=blk, nodbl=nodbl)(*ins)
+    if nodbl:
+        pref, flag = out[:3], jnp.max(out[3])
+    else:
+        pref, flag = out, jnp.uint32(0)
     tot_pref = _rank_prefix_scan(_tot_flat(pref, chains, blk), chains)
     offs = tuple(
         jnp.concatenate([jnp.zeros((16, 1), dtype=a.dtype), a[:, :-1]], axis=1)
         for a in tot_pref
     )
-    return pref, offs, blk
+    return pref, offs, blk, flag
 
 
 def _rank_prefix_scan(P, m: int):
@@ -189,16 +195,17 @@ def _rank_prefix_scan(P, m: int):
     )
 
 
-def _rank_prefix_at(xcols, ycols, n: int, idx):
+def _rank_prefix_at(xcols, ycols, n: int, idx, nodbl: bool = False):
     """Inclusive-prefix values of the sorted point stream at rank indices
-    `idx` [K]: rank-major scan + gathers at chained positions + one padd."""
+    `idx` [K]: rank-major scan + gathers at chained positions + one padd.
+    Returns (T, flag) — see _rank_local_scan."""
     CHUNK = gv.SCAN_CHUNK
     chains = n // CHUNK
-    pref, offs, blk = _rank_local_scan(xcols, ycols, n)
+    pref, offs, blk, flag = _rank_local_scan(xcols, ycols, n, nodbl=nodbl)
     pos = _chained_pos(idx, chains, blk)
     local = tuple(jnp.take(a.reshape(16, -1), pos, axis=1) for a in pref)
     off_at = tuple(jnp.take(a, idx // CHUNK, axis=1) for a in offs)
-    return _vpadd_flat(local, off_at, idx.shape[0])
+    return _vpadd_flat(local, off_at, idx.shape[0]), flag
 
 
 def _rank_reduce(P, m: int):
@@ -237,21 +244,27 @@ def _tree_reduce(P, m: int):
     return P
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def _msm_window_partials(PX, PY, scalars, c: int):
+@functools.partial(jax.jit, static_argnames=("c", "bits", "safe"))
+def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
+                         safe: bool = False):
     """Per window: (T_max, sum_T) Jacobian partials, each [n_windows] points.
 
     PX, PY: [n, 16] Montgomery Fq (limbs-last for coalesced gathers).
     scalars: [n, 16] raw Fr limbs.
-    Returns coord array [n_windows, 2, 48] (host-foldable).
+    Returns (coord array [n_windows, 2, 48] (host-foldable), flags
+    [n_windows] uint32).
 
     The window loop is a lax.scan so the (heavy) per-window graph traces
     once; digits are the scanned input.
+
+    safe=False uses the doubling-free mixed add in the rank scan (distinct
+    base points assumed); flags report any acc == q collision — the caller
+    must recompute with safe=True if one fires (see _padd_mixed_body).
     """
     n = PX.shape[0]
     assert n & (n - 1) == 0, "msm_vec needs a power-of-two point count"
     V = 1 << c
-    digits_all = _digits(scalars, c)
+    digits_all = _digits(scalars, c, bits)
     one = jnp.asarray(gv._ONE_COL.reshape(16))
     # the point limbs ride the sort as payload operands: measured CHEAPER
     # than sorting (key, iota) and row-gathering the points afterwards
@@ -281,14 +294,18 @@ def _msm_window_partials(PX, PY, scalars, c: int):
             jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.uint16), side="right")
             - 1
         )
-        safe = jnp.clip(tails, 0, n - 1)
+        safe_idx = jnp.clip(tails, 0, n - 1)
         if fast:
             # sorted limb planes feed the rank-major scan kernel directly
-            T = _rank_prefix_at(sorted_ops[1:17], sorted_ops[17:33], n, safe)
+            T, flag = _rank_prefix_at(
+                sorted_ops[1:17], sorted_ops[17:33], n, safe_idx,
+                nodbl=not safe,
+            )
         else:
             S = jnp.stack(sorted_ops[1:], axis=0)  # [32, n] rank-major
             full = _prefix_scan(_with_ones_z((S[:16], S[16:]), n), n)
-            T = tuple(jnp.take(a, safe, axis=1) for a in full)
+            T = tuple(jnp.take(a, safe_idx, axis=1) for a in full)
+            flag = jnp.uint32(0)
         none_mask = (tails < 0)[None, :]
         T = (
             jnp.where(none_mask, one[:, None], T[0]),
@@ -311,10 +328,10 @@ def _msm_window_partials(PX, PY, scalars, c: int):
             ],
             axis=0,
         )  # [2, 48]
-        return carry, out
+        return carry, (out, flag)
 
-    _, outs = jax.lax.scan(one_window, 0, digits_all)
-    return outs  # [n_windows, 2, 48]
+    _, (outs, flags) = jax.lax.scan(one_window, 0, digits_all)
+    return outs, flags  # [n_windows, 2, 48], [n_windows]
 
 
 def use_vec_msm(n: int) -> bool:
@@ -324,15 +341,51 @@ def use_vec_msm(n: int) -> bool:
     return not fv._interpret() and n >= (1 << 15) and n & (n - 1) == 0
 
 
-def msm_vec(PX, PY, scalars, c: int | None = None):
+GLV_BITS = 128  # |k1|, |k2| < 2^128 (bound proven in ec/glv.py)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "safe"))
+def _msm_window_partials_glv(PX, PY, scalars, c: int, safe: bool = False):
+    """GLV-split window partials: decompose every scalar as k1 + k2*lambda,
+    double the point stream with phi(P) = (beta x, y) (signs folded into Y),
+    and run the bucket pipeline over 128-bit sub-scalars — half the windows
+    of the direct 256-bit path for the same sort+scan volume per window."""
+    from ..field import mont
+    from ..field.mont import FQ
+    from . import glv as glv_mod
+
+    k1m, k1n, k2m, k2n = glv_mod.decompose_batch_dev(scalars)
+    beta_m = jnp.asarray(mont.const_mont(FQ, glv_mod.params().beta))
+    PX2 = mont.mul(FQ, PX, beta_m[None, :])
+    negY = mont.neg(FQ, PY)
+    PY1 = mont.select(k1n, negY, PY)
+    PY2 = mont.select(k2n, negY, PY)
+    PXa = jnp.concatenate([PX, PX2], axis=0)
+    PYa = jnp.concatenate([PY1, PY2], axis=0)
+    S = jnp.concatenate([k1m, k2m], axis=0)
+    return _msm_window_partials(PXa, PYa, S, c, bits=GLV_BITS, safe=safe)
+
+
+def msm_vec(PX, PY, scalars, c: int | None = None, glv: bool | None = None):
     """Full MSM; returns a host affine point (or None).
 
-    PX, PY: [n, 16] Montgomery Fq device arrays; scalars raw Fr [n, 16]."""
+    PX, PY: [n, 16] Montgomery Fq device arrays; scalars raw Fr [n, 16].
+    glv=None enables the endomorphism split automatically at sizes where
+    the halved window count pays (the split itself is a few wide limb
+    multiplies per scalar, fused by XLA)."""
     n = PX.shape[0]
     if c is None:
         c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+    if glv is None:
+        glv = n >= (1 << 15)
     V = 1 << c
-    parts = np.asarray(_msm_window_partials(PX, PY, scalars, c))
+    fn = _msm_window_partials_glv if glv else _msm_window_partials
+    parts, flags = fn(PX, PY, scalars, c)
+    parts = np.asarray(parts)
+    if np.asarray(flags).any():
+        # an acc == q collision invalidated the doubling-free scan (duplicate
+        # base points, or a genuine curve collision) — safe body re-run
+        parts = np.asarray(fn(PX, PY, scalars, c, safe=True)[0])
 
     def to_host(coords):  # [48] mont limbs triple -> host Jacobian -> affine
         x = mont_limbs_to_int(coords[0:16], FQ_MOD)

@@ -84,7 +84,7 @@ def main():
 
     @jax.jit
     def f_scan(*ops):
-        pref, offs, _ = mv._rank_local_scan(ops[1:17], ops[17:33], n)
+        pref, offs, _, _ = mv._rank_local_scan(ops[1:17], ops[17:33], n, nodbl=True)
         return pref
 
     timeit("rank scan + offsets", lambda s: f_scan(*s), sorts)
@@ -93,7 +93,7 @@ def main():
 
     @jax.jit
     def f_prefix_at(*ops):
-        return mv._rank_prefix_at(ops[1:17], ops[17:33], n, tails)
+        return mv._rank_prefix_at(ops[1:17], ops[17:33], n, tails, nodbl=True)[0]
 
     T3 = f_prefix_at(*sorted_ops)
     timeit("prefix_at (V gathers)", lambda s: f_prefix_at(*s), sorts)

@@ -88,10 +88,36 @@ def main() -> int:
         scalars[1] = scalars[2]  # repeated points exercise the double branch
         S = jnp.asarray(ints_to_limbs(scalars))
         t0 = time.time()
-        got_pt = msm_vec(PX, PY, S, c=16)
+        got_pt = msm_vec(PX, PY, S, c=16, glv=False)
         total = sum((i + 1) * s for i, s in enumerate(scalars)) % FR_MOD
-        good = got_pt == host.g1_mul(host.G1, total)
+        want_pt = host.g1_mul(host.G1, total)
+        good = got_pt == want_pt
         log(f"msm_vec 2^16 vs closed form ({time.time()-t0:.0f}s): "
+            f"{'OK' if good else 'FAIL'}")
+        ok &= good
+
+        # ---- GLV endomorphism path (halved window count) ---------------------
+        t0 = time.time()
+        got_pt = msm_vec(PX, PY, S, c=16, glv=True)
+        good = got_pt == want_pt
+        log(f"msm_vec 2^16 GLV vs closed form ({time.time()-t0:.0f}s): "
+            f"{'OK' if good else 'FAIL'}")
+        ok &= good
+
+        # ---- sharded production MSM on a 1-device mesh ------------------------
+        import jax as _jax
+        from halo2_tpu.dist import make_mesh, msm_sharded_vec
+        from halo2_tpu.dist.mesh import row_sharding
+
+        mesh1 = make_mesh(1)
+        sh = row_sharding(mesh1)
+        t0 = time.time()
+        got_pt = msm_sharded_vec(
+            _jax.device_put(PX, sh), _jax.device_put(PY, sh),
+            _jax.device_put(S, sh), mesh1, c=16,
+        )
+        good = got_pt == want_pt
+        log(f"msm_sharded_vec 2^16 (1-chip mesh) ({time.time()-t0:.0f}s): "
             f"{'OK' if good else 'FAIL'}")
         ok &= good
     else:

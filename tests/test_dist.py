@@ -63,6 +63,26 @@ def test_msm_sharded_matches_host(mesh, rng):
     assert got == want
 
 
+@pytest.mark.slow
+def test_msm_sharded_vec_matches_host(mesh, rng):
+    """The production window-partials pipeline under shard_map (additive
+    per-window partials + one gather) agrees with the host MSM.  Compiling
+    the window scan on CPU takes ~10 min; the on-chip single-device mesh
+    equivalent runs in scripts/tpu_checks.py."""
+    n = 64
+    points = [ec_host.g1_mul(ec_host.G1, int(s)) for s in rng.integers(1, 2**31, size=n)]
+    scalars = [int(s) for s in rng.integers(0, 2**63, size=n)]
+
+    PX, PY, _ = g1.points_to_device(points)
+    S = jnp.asarray(ints_to_limbs(scalars))
+    sh = row_sharding(mesh)
+    got = dist.msm_sharded_vec(
+        jax.device_put(PX, sh), jax.device_put(PY, sh), jax.device_put(S, sh), mesh
+    )
+    want = ec_host.g1_msm_host(points, scalars)
+    assert got == want
+
+
 def test_prove_step_sharded_runs(mesh, rng):
     from jax.sharding import NamedSharding, PartitionSpec as P
 

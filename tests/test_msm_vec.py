@@ -115,3 +115,62 @@ def test_bucket_identity_host(rng):
         ec_host.g1_neg(functools.reduce(ec_host.g1_add, T[: V - 1], None)),
     )
     assert lhs == rhs
+
+
+def test_glv_endomorphism_host(rng):
+    """phi(P) = (beta x, y) acts as multiplication by lambda, and the exact
+    host decomposition k = k1 + k2*lambda holds with |ki| within the proven
+    magnitude bound."""
+    from halo2_tpu.ec import glv
+
+    p = glv.params()
+    for mult in (2, 7, 12345):
+        P = ec_host.g1_mul(ec_host.G1, mult)
+        assert (P[0] * p.beta % FQ_MOD, P[1]) == ec_host.g1_mul(P, p.lam)
+    for _ in range(8):
+        k = int.from_bytes(rng.bytes(32), "little") % FR_MOD
+        k1, k2 = glv.decompose_host(k)
+        assert (k1 + k2 * p.lam - k) % FR_MOD == 0
+        assert abs(k1) <= p.max_mag and abs(k2) <= p.max_mag
+
+
+def test_glv_decompose_batch_matches_host(rng):
+    """The vectorized limb decomposition agrees sign+magnitude with the
+    exact host decomposition (Barrett slack stays within max_mag)."""
+    from halo2_tpu.ec import glv
+    from halo2_tpu.field.limbs import limbs_to_int
+
+    n = 16
+    scalars = [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = FR_MOD - 1
+    S = jnp.asarray(ints_to_limbs(scalars))
+    k1m, k1n, k2m, k2n = glv.decompose_batch(S)
+    k1m, k1n, k2m, k2n = (np.asarray(a) for a in (k1m, k1n, k2m, k2n))
+    lam = glv.params().lam
+    for i, k in enumerate(scalars):
+        m1 = int(limbs_to_int(k1m[i]))
+        m2 = int(limbs_to_int(k2m[i]))
+        k1 = -m1 if k1n[i] else m1
+        k2 = -m2 if k2n[i] else m2
+        assert (k1 + k2 * lam - k) % FR_MOD == 0, i
+        assert m1 < (1 << 128) and m2 < (1 << 128), i
+
+
+@pytest.mark.slow
+def test_msm_vec_glv_matches_host(rng):
+    """Full msm_vec with the GLV split (forced on at tiny size) equals the
+    host MSM — exercises decomposition, the phi/sign point mapping, the
+    128-bit window pipeline, and the Horner fold end to end.  ~10 min of
+    CPU compile; the on-chip equivalent runs in scripts/tpu_checks.py."""
+    n = 16
+    pts = [ec_host.g1_mul(ec_host.G1, i + 3) for i in range(n)]
+    scalars = [int.from_bytes(rng.bytes(32), "little") % FR_MOD for _ in range(n)]
+    PX, PY, _ = g1.points_to_device(pts)
+    S = jnp.asarray(ints_to_limbs(scalars))
+    got = mv.msm_vec(PX, PY, S, c=8, glv=True)
+    want = ec_host.g1_msm_host(pts, scalars)
+    assert got == want
+    # and the non-GLV path agrees too
+    assert mv.msm_vec(PX, PY, S, c=8, glv=False) == want
