@@ -73,8 +73,10 @@ def _msm_points(k: int):
 
     path = os.path.join(CACHE_DIR, f"msm_points_k{k}.npz")
     if os.path.exists(path):
+        from halo2_tpu.utils import device_put_chunked
+
         d = np.load(path)
-        return jnp.asarray(d["px"]), jnp.asarray(d["py"])
+        return device_put_chunked(d["px"]), device_put_chunked(d["py"])
 
     import jax
 
@@ -139,8 +141,9 @@ def bench_msm(k: int) -> float:
         # dispatches) but UPLOADED AND FENCED before the timed region: the
         # prover's scalars are device-resident, so the 64 MB host->device
         # relay transfer is not part of the MSM.
-        sc = jnp.asarray(s_np)
-        np.asarray(sc[:1])
+        from halo2_tpu.utils import device_put_chunked
+
+        sc = device_put_chunked(s_np)
         t0 = time.perf_counter()
         np.asarray(partials(PX, PY, sc, c)[0])
         times.append((time.perf_counter() - t0) * 1e3)

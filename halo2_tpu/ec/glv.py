@@ -497,3 +497,134 @@ def decompose_batch_dev(scalars):
         fv.from_vec(k2m, n),
         k2n.reshape(-1)[:n] != 0,
     )
+
+
+@functools.lru_cache(maxsize=1)
+def _decompose_phi_call(rows: int):
+    """Decomposition + endomorphism point map in ONE VMEM pass.
+
+    Inputs (vec layout [16, rows, 128]): scalars (raw Fr), PX, PY (Mont Fq).
+    Outputs: k1 mag, k2 mag (signs folded into the Ys), beta*PX, Y1, Y2 with
+    Y_i = -Y when k_i < 0.  The MSM then runs over the concatenated stream
+    [P, phi(P)] with scalars [k1, k2] — no portable-layer field ops on the
+    128 MB point arrays."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..field import vec as fv
+    from ..field.mont import FQ
+
+    consts, _, _ = _device_consts()
+    m_ints = tuple(int(v) for v in consts["m"])
+    while m_ints and m_ints[-1] == 0:
+        m_ints = m_ints[:-1]
+    half_r = tuple(int(v) for v in consts["half_r"])
+    shift = BARRETT_S // LIMB_BITS
+    QL, TL = 9, 25
+
+    def _int_limb_tuple(v: int, count: int):
+        return tuple(int(x) for x in _int_limbs(v, count))
+
+    mul1 = tuple(int(v) for v in consts["mul1"])
+    mul2 = tuple(int(v) for v in consts["mul2"])
+    a1_l = _int_limb_tuple(consts["a1"], 9)
+    a2_l = _int_limb_tuple(consts["a2"], 9)
+    b1_l = _int_limb_tuple(consts["b1"], 9)
+    b2_l = _int_limb_tuple(consts["b2"], 9)
+
+    p16, n0inv = fv._field_consts(FQ)
+    from ..field.limbs import int_to_mont_limbs
+    from ..field.bn254 import FQ_MOD
+
+    beta_mont = tuple(
+        int(v) for v in int_to_mont_limbs(params().beta, FQ_MOD)
+    )
+
+    def kernel(s_ref, px_ref, py_ref, k1_ref, k2_ref, px2_ref, y1_ref, y2_ref):
+        k16 = [s_ref[i] for i in range(16)]
+
+        def quotient(mult):
+            t = _k_mul_const(k16, mult, TL, add_ints=half_r)
+            return _k_mul_const(t, m_ints, shift + QL)[shift:]
+
+        c1 = quotient(mul1)
+        c2 = quotient(mul2)
+
+        def signed_term(c, c_neg: bool, coef, coef_neg: bool):
+            prod = _k_mul_const(c, coef, 16)
+            return _k_neg16(prod) if (c_neg != coef_neg) else prod
+
+        s_a = _k_add16(
+            signed_term(c1, consts["mul1_neg"], a1_l, consts["a1_neg"]),
+            signed_term(c2, consts["mul2_neg"], a2_l, consts["a2_neg"]),
+        )
+        k1 = _k_add16(k16, _k_neg16(s_a))
+        k2 = _k_neg16(
+            _k_add16(
+                signed_term(c1, consts["mul1_neg"], b1_l, consts["b1_neg"]),
+                signed_term(c2, consts["mul2_neg"], b2_l, consts["b2_neg"]),
+            )
+        )
+
+        px = [px_ref[i] for i in range(16)]
+        py = [py_ref[i] for i in range(16)]
+        beta = [jnp.full_like(px[0], bl) for bl in beta_mont]
+        px2 = fv._redc(fv._comba_columns(px, beta), p16, n0inv)
+        zero = [jnp.zeros_like(py[0]) for _ in range(16)]
+        neg_y = fv._sub_body(zero, py, p16)
+
+        def write_k(ref, v, y_ref):
+            neg = v[15] >= (1 << 15)
+            negv = _k_neg16(v)
+            for i in range(16):
+                ref[i] = jnp.where(neg, negv[i], v[i])
+                y_ref[i] = jnp.where(neg, neg_y[i], py[i])
+
+        write_k(k1_ref, k1, y1_ref)
+        write_k(k2_ref, k2, y2_ref)
+        for i in range(16):
+            px2_ref[i] = px2[i]
+
+    bs = pl.BlockSpec(
+        (16, fv.SUB, fv.LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((16, rows, fv.LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape,) * 5,
+        grid=(rows // fv.SUB,),
+        in_specs=[bs] * 3,
+        out_specs=(bs,) * 5,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def glv_split_device(PX, PY, scalars):
+    """[n, 16] point/scalar arrays -> (PXa, PYa, S) each [2n, 16]: the
+    concatenated [P, phi(P)] stream with 128-bit magnitudes [k1, k2]
+    (signs folded into the Y coordinates).  One fused kernel on TPU; the
+    portable jnp path elsewhere."""
+    from ..field import mont, vec as fv
+    from ..field.mont import FQ
+
+    n = scalars.shape[0]
+    if fv._interpret() or n % fv.GROUP:
+        k1m, k1n, k2m, k2n = decompose_batch(scalars)
+        beta_m = jnp.asarray(mont.const_mont(FQ, params().beta))
+        PX2 = mont.mul(FQ, PX, beta_m[None, :])
+        negY = mont.neg(FQ, PY)
+        PY1 = mont.select(k1n, negY, PY)
+        PY2 = mont.select(k2n, negY, PY)
+    else:
+        Sv, Xv, Yv = fv.to_vec(scalars), fv.to_vec(PX), fv.to_vec(PY)
+        k1v, k2v, px2v, y1v, y2v = _decompose_phi_call(Xv.shape[1])(Sv, Xv, Yv)
+        k1m, k2m = fv.from_vec(k1v, n), fv.from_vec(k2v, n)
+        PX2 = fv.from_vec(px2v, n)
+        PY1, PY2 = fv.from_vec(y1v, n), fv.from_vec(y2v, n)
+    PXa = jnp.concatenate([PX, PX2], axis=0)
+    PYa = jnp.concatenate([PY1, PY2], axis=0)
+    S = jnp.concatenate([k1m, k2m], axis=0)
+    return PXa, PYa, S

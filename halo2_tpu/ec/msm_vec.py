@@ -349,20 +349,11 @@ def _msm_window_partials_glv(PX, PY, scalars, c: int, safe: bool = False):
     """GLV-split window partials: decompose every scalar as k1 + k2*lambda,
     double the point stream with phi(P) = (beta x, y) (signs folded into Y),
     and run the bucket pipeline over 128-bit sub-scalars — half the windows
-    of the direct 256-bit path for the same sort+scan volume per window."""
-    from ..field import mont
-    from ..field.mont import FQ
+    of the direct 256-bit path for the same sort+scan volume per window.
+    The split runs as one fused kernel (ec/glv.py glv_split_device)."""
     from . import glv as glv_mod
 
-    k1m, k1n, k2m, k2n = glv_mod.decompose_batch_dev(scalars)
-    beta_m = jnp.asarray(mont.const_mont(FQ, glv_mod.params().beta))
-    PX2 = mont.mul(FQ, PX, beta_m[None, :])
-    negY = mont.neg(FQ, PY)
-    PY1 = mont.select(k1n, negY, PY)
-    PY2 = mont.select(k2n, negY, PY)
-    PXa = jnp.concatenate([PX, PX2], axis=0)
-    PYa = jnp.concatenate([PY1, PY2], axis=0)
-    S = jnp.concatenate([k1m, k2m], axis=0)
+    PXa, PYa, S = glv_mod.glv_split_device(PX, PY, scalars)
     return _msm_window_partials(PXa, PYa, S, c, bits=GLV_BITS, safe=safe)
 
 

@@ -261,6 +261,97 @@ def _vbutterfly_call(spec: FieldSpec, rows: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _vscale_call(spec: FieldSpec, rows: int, fma: bool):
+    """a * s (one scalar, SMEM-resident 16 limbs) [+ b].  The per-element
+    quotient fold `value*y + gate` is this kernel — one pass instead of a
+    scalar broadcast materialization plus two."""
+    p16, n0inv = _field_consts(spec)
+
+    def body(a, s, b):
+        t = _redc(_comba_columns(a, s), p16, n0inv)
+        return _add_body(t, b, p16) if fma else t
+
+    def kernel(*refs):
+        if fma:
+            a_ref, s_ref, b_ref, o_ref = refs
+            b = [b_ref[i] for i in range(L)]
+        else:
+            a_ref, s_ref, o_ref = refs
+            b = None
+        a = [a_ref[i] for i in range(L)]
+        s = [s_ref[i] for i in range(L)]
+        out = body(a, s, b)
+        for i in range(L):
+            o_ref[i] = out[i]
+
+    if _interpret():
+        def fallback(a, s, b=None):
+            sl = [jnp.broadcast_to(s[i], a.shape[1:]) for i in range(L)]
+            out = body([a[i] for i in range(L)], sl,
+                       None if b is None else [b[i] for i in range(L)])
+            return jnp.stack(out)
+        return fallback
+
+    bs = pl.BlockSpec((L, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [bs, s_spec] + ([bs] if fma else [])
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, rows, LANES), jnp.uint32),
+        grid=(rows // SUB,),
+        in_specs=in_specs,
+        out_specs=bs,
+    )
+
+
+def vscale(spec: FieldSpec, a, s):
+    """a [16, rows, 128] times one Montgomery scalar s [16]."""
+    a = _ensure_vec(a)
+    return _vscale_call(spec, a.shape[1], False)(a, s)
+
+
+def vfma_scalar(spec: FieldSpec, a, s, b):
+    """a * s + b for one scalar s [16] — the quotient y-fold."""
+    a, b = _ensure_vec(a), _ensure_vec(b)
+    return _vscale_call(spec, a.shape[1], True)(a, s, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _vadd_scalar_call(spec: FieldSpec, rows: int):
+    p16, _ = _field_consts(spec)
+
+    def body(a, s):
+        return _add_body(a, s, p16)
+
+    def kernel(a_ref, s_ref, o_ref):
+        out = body([a_ref[i] for i in range(L)], [s_ref[i] for i in range(L)])
+        for i in range(L):
+            o_ref[i] = out[i]
+
+    if _interpret():
+        def fallback(a, s):
+            sl = [jnp.broadcast_to(s[i], a.shape[1:]) for i in range(L)]
+            return jnp.stack(body([a[i] for i in range(L)], sl))
+        return fallback
+
+    bs = pl.BlockSpec((L, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, rows, LANES), jnp.uint32),
+        grid=(rows // SUB,),
+        in_specs=[bs, s_spec],
+        out_specs=bs,
+    )
+
+
+def vadd_scalar(spec: FieldSpec, a, s):
+    """a + s for one scalar s [16]."""
+    a = _ensure_vec(a)
+    return _vadd_scalar_call(spec, a.shape[1])(a, s)
+
+
 def _ensure_vec(x):
     assert x.ndim == 3 and x.shape[0] == L and x.shape[2] == LANES, x.shape
     assert x.shape[1] % SUB == 0, x.shape

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import FR, mont
+from ..field import vec as fv
 from ..field.bn254 import FR_MOD, FR_ZETA
 from ..field.limbs import ints_to_mont_limbs
 from ..frontend.expression import evaluate
@@ -98,10 +99,18 @@ def quotient_ext(
 
     perm_value_exts: [P, ext_n, 16] extended values of the permutation
     columns in order; z_exts: list of per-chunk z extended arrays.
+
+    Domains that tile the vec kernel layout run through the fused Pallas
+    field kernels (_quotient_ext_vec); small domains use the portable layer.
     """
     cs = pk.vk.cs
     dom = pk.vk.domain
     ext_n = dom.extended_n
+    if ext_n % fv.GROUP == 0:
+        return _quotient_ext_vec(
+            pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+            y, beta, gamma, lookup_exts, lookup_theta,
+        )
     rot_scale = 1 << (dom.extended_k - dom.k)
     bf = cs.blinding_factors()
     y_m = scalar_mont(y)
@@ -229,3 +238,202 @@ def pow_delta(j: int) -> int:
     from ..field.bn254 import FR_DELTA
 
     return pow(FR_DELTA, j, FR_MOD)
+
+
+# ---------------------------------------------------------------------------
+# vec-layout quotient: same math as the portable body above, but every bulk
+# field op is a fused Pallas kernel over [16, rows, 128] arrays (the portable
+# [ext_n, 16] layout leaves the TPU lane axis 87% idle and round-trips HBM
+# per op).  Scalars (y, beta, gamma, theta, deltas) ride SMEM.
+# ---------------------------------------------------------------------------
+
+
+def _quotient_ext_vec(
+    pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+    y, beta, gamma, lookup_exts, lookup_theta,
+):
+    cs = pk.vk.cs
+    dom = pk.vk.domain
+    ext_n = dom.extended_n
+    rot_scale = 1 << (dom.extended_k - dom.k)
+    bf = cs.blinding_factors()
+    rows = -(-ext_n // fv.GROUP) * fv.SUB
+
+    lift = fv.to_vec
+
+    def scal(v: int):
+        return jnp.asarray(scalar_mont(v))
+
+    y_m, beta_m, gamma_m = scal(y), scal(beta), scal(gamma)
+    zero_v = jnp.zeros((16, rows, fv.LANES), dtype=jnp.uint32)
+
+    def broadcast_scalar(s):
+        return jnp.broadcast_to(s.reshape(16, 1, 1), (16, rows, fv.LANES))
+
+    def vroll(a, rotation: int):
+        if rotation == 0:
+            return a
+        flat = a.reshape(16, ext_n)
+        return jnp.roll(flat, -rotation * rot_scale, axis=1).reshape(
+            16, rows, fv.LANES
+        )
+
+    def mul_d(a, b):
+        if a.ndim == 1 and b.ndim == 1:
+            return mont.mul(FR, a[None, :], b[None, :])[0]
+        if a.ndim == 1:
+            return fv.vscale(FR, b, a)
+        if b.ndim == 1:
+            return fv.vscale(FR, a, b)
+        return fv.vmul(FR, a, b)
+
+    def add_d(a, b):
+        if a.ndim == 1 and b.ndim == 1:
+            return mont.add(FR, a[None, :], b[None, :])[0]
+        if a.ndim == 1:
+            return fv.vadd_scalar(FR, b, a)
+        if b.ndim == 1:
+            return fv.vadd_scalar(FR, a, b)
+        return fv.vadd(FR, a, b)
+
+    def neg_d(a):
+        if a.ndim == 1:
+            return mont.neg(FR, a[None, :])[0]
+        return fv.vsub(FR, zero_v, a)
+
+    def sub_d(a, b):
+        return fv.vsub(FR, a, b)
+
+    fixed_v = [lift(pk.fixed_ext[i]) for i in range(pk.fixed_ext.shape[0])]
+    advice_v = [lift(advice_ext[i]) for i in range(advice_ext.shape[0])]
+    instance_v = [lift(instance_ext[i]) for i in range(instance_ext.shape[0])]
+
+    def eval_vec(expr):
+        return evaluate(
+            expr,
+            constant=scal,
+            fixed=lambda q: vroll(fixed_v[q.column_index], q.rotation),
+            advice=lambda q: vroll(advice_v[q.column_index], q.rotation),
+            instance=lambda q: vroll(instance_v[q.column_index], q.rotation),
+            selector=lambda q: (_ for _ in ()).throw(
+                AssertionError("unfinalized selector")
+            ),
+            add=add_d,
+            mul=mul_d,
+            neg=neg_d,
+            scale=lambda a, s: mul_d(a, scal(s)),
+        )
+
+    value = zero_v
+
+    def fold(value, ev):
+        if ev.ndim == 1:
+            ev = broadcast_scalar(ev)
+        return fv.vfma_scalar(FR, value, y_m, ev)
+
+    # ---- custom gates ---------------------------------------------------------
+    for gate in cs.gates:
+        for poly in gate.polys:
+            value = fold(value, eval_vec(poly))
+
+    # ---- permutation constraints ------------------------------------------------
+    if z_exts:
+        chunk_len = cs.permutation_chunk_len()
+        l0 = lift(pk.l0_ext)
+        l_last = lift(pk.l_last_ext)
+        l_active = lift(pk.l_active_ext)
+        one = scal(1)
+        z_v = [lift(z) for z in z_exts]
+        # l_0 * (1 - z_0)
+        value = fold(
+            value, fv.vmul(FR, l0, fv.vsub(FR, broadcast_scalar(one), z_v[0]))
+        )
+        # l_last * (z_l^2 - z_l)
+        zl = z_v[-1]
+        value = fold(
+            value, fv.vmul(FR, l_last, fv.vsub(FR, fv.vmul(FR, zl, zl), zl))
+        )
+        # continuity: l_0 * (z_i - z_{i-1}(w^u X))
+        for i in range(1, len(z_v)):
+            prev_at_last = vroll(z_v[i - 1], -(bf + 1))
+            value = fold(
+                value, fv.vmul(FR, l0, fv.vsub(FR, z_v[i], prev_at_last))
+            )
+        # main product constraint per chunk
+        ident_x = lift(coset_identity_ext(dom.extended_k))
+        sigma_v = [lift(pk.sigma_ext[j]) for j in range(pk.sigma_ext.shape[0])]
+        pv_v = [lift(perm_value_exts[j]) for j in range(perm_value_exts.shape[0])]
+        for ci, z in enumerate(z_v):
+            s = ci * chunk_len
+            e = min(s + chunk_len, perm_value_exts.shape[0])
+            left = vroll(z, 1)  # z(wX)
+            right = z
+            for j in range(s, e):
+                v = pv_v[j]
+                # left *= v + sigma_j * beta + gamma
+                t = fv.vfma_scalar(FR, sigma_v[j], beta_m, v)
+                left = fv.vmul(FR, left, fv.vadd_scalar(FR, t, gamma_m))
+                # right *= v + X * (beta * delta^j) + gamma
+                bd = mont.mul(
+                    FR, beta_m[None, :], scal(pow_delta(j))[None, :]
+                )[0]
+                t = fv.vfma_scalar(FR, ident_x, bd, v)
+                right = fv.vmul(FR, right, fv.vadd_scalar(FR, t, gamma_m))
+            value = fold(value, fv.vmul(FR, l_active, fv.vsub(FR, left, right)))
+
+    # ---- lookup constraints -------------------------------------------------------
+    if lookup_exts:
+        l0 = lift(pk.l0_ext)
+        l_last = lift(pk.l_last_ext)
+        l_active = lift(pk.l_active_ext)
+        one = scal(1)
+        theta_m = scal(lookup_theta)
+
+        def compress_vec(exprs):
+            acc = zero_v
+            for e in exprs:
+                ev = eval_vec(e)
+                if ev.ndim == 1:
+                    ev = broadcast_scalar(ev)
+                acc = fv.vfma_scalar(FR, acc, theta_m, ev)
+            return acc
+
+        for le, (_name, pairs) in zip(lookup_exts, cs.lookups):
+            z = lift(le["z"])
+            a_p = lift(le["a_perm"])
+            s_p = lift(le["s_perm"])
+            a_comp = compress_vec([i for i, _ in pairs])
+            s_comp = compress_vec([t for _, t in pairs])
+            # l_0 * (1 - z)
+            value = fold(
+                value, fv.vmul(FR, l0, fv.vsub(FR, broadcast_scalar(one), z))
+            )
+            # l_last * (z^2 - z)
+            value = fold(
+                value, fv.vmul(FR, l_last, fv.vsub(FR, fv.vmul(FR, z, z), z))
+            )
+            # l_active * (z(wX)(A'+beta)(S'+gamma) - z(X)(A+beta)(S+gamma))
+            left = fv.vmul(
+                FR,
+                fv.vmul(FR, vroll(z, 1), fv.vadd_scalar(FR, a_p, beta_m)),
+                fv.vadd_scalar(FR, s_p, gamma_m),
+            )
+            right = fv.vmul(
+                FR,
+                fv.vmul(FR, z, fv.vadd_scalar(FR, a_comp, beta_m)),
+                fv.vadd_scalar(FR, s_comp, gamma_m),
+            )
+            value = fold(value, fv.vmul(FR, l_active, fv.vsub(FR, left, right)))
+            # l_0 * (A' - S')
+            diff = fv.vsub(FR, a_p, s_p)
+            value = fold(value, fv.vmul(FR, l0, diff))
+            # l_active * (A' - S') * (A' - A'(w^-1 X))
+            a_prev = vroll(a_p, -1)
+            value = fold(
+                value,
+                fv.vmul(FR, fv.vmul(FR, l_active, diff), fv.vsub(FR, a_p, a_prev)),
+            )
+
+    # ---- divide by the vanishing polynomial ----------------------------------------
+    zh_inv = lift(_zh_inv_ext(dom.k, dom.extended_k))
+    return fv.from_vec(fv.vmul(FR, value, zh_inv), ext_n)

@@ -1,3 +1,3 @@
-from .jax_setup import enable_compilation_cache
+from .jax_setup import device_put_chunked, enable_compilation_cache
 
-__all__ = ["enable_compilation_cache"]
+__all__ = ["device_put_chunked", "enable_compilation_cache"]

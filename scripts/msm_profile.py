@@ -51,8 +51,11 @@ def main():
     V = 1 << c
     CHUNK = gv.SCAN_CHUNK
 
+    from halo2_tpu.utils import device_put_chunked
+
     d = np.load(".bench_cache/msm_points_k20.npz")
-    PX, PY = jnp.asarray(d["px"]), jnp.asarray(d["py"])
+    PX = device_put_chunked(d["px"])
+    PY = device_put_chunked(d["py"])
     PXY = jnp.concatenate([PX, PY], axis=1)
     fence(PXY)
 

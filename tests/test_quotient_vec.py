@@ -1,0 +1,80 @@
+"""The vec-layout quotient (plonk/evaluation._quotient_ext_vec) must be
+bit-identical to the portable-layer body it mirrors.
+
+Reference parity: halo2's `evaluation.rs` quotient construction
+(SURVEY.md 3.2 phase 5) — one implementation, checked here against the
+portable oracle on the real arithmetic-circuit proving key over a domain
+large enough to tile the vec kernels (ext_n % 1024 == 0).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from halo2_tpu.circuits import arithmetic
+from halo2_tpu.commit.srs import ParamsKZG
+from halo2_tpu.field.bn254 import FR_MOD
+from halo2_tpu.field.limbs import ints_to_mont_limbs
+from halo2_tpu.plonk import evaluation as ev
+from halo2_tpu.plonk.keygen import keygen
+
+
+@pytest.mark.slow
+def test_quotient_vec_matches_portable():
+    k = 10  # arithmetic extended_k = k + 1 -> ext_n = 2048
+    params = ParamsKZG.setup(k)
+    pk = keygen(params, arithmetic.create_circuit(3, 4, 5))
+    dom = pk.vk.domain
+    ext_n = dom.extended_n
+    assert ext_n % 1024 == 0, "domain must tile the vec kernels"
+
+    rng = np.random.default_rng(0)
+    cs = pk.vk.cs
+
+    def rand_ext(count):
+        if count == 0:
+            return jnp.zeros((0, ext_n, 16), dtype=jnp.uint32)
+        vals = [
+            ints_to_mont_limbs(
+                [int(x) for x in rng.integers(0, 2**62, size=ext_n)], FR_MOD
+            )
+            for _ in range(count)
+        ]
+        return jnp.asarray(np.stack(vals))
+
+    advice_ext = rand_ext(max((q[0] for q in cs.advice_queries), default=-1) + 1)
+    instance_ext = rand_ext(
+        max((q[0] for q in cs.instance_queries), default=-1) + 1
+    )
+    P = len(cs.permutation_columns)
+    perm_value_exts = rand_ext(P)
+    n_chunks = (
+        (P + cs.permutation_chunk_len() - 1) // cs.permutation_chunk_len()
+        if P
+        else 0
+    )
+    z_exts = [rand_ext(1)[0] for _ in range(n_chunks)]
+    y, beta, gamma = 123456789, 987654321, 192837465
+
+    h_vec = np.asarray(
+        ev._quotient_ext_vec(
+            pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+            y, beta, gamma, (), 0,
+        )
+    )
+
+    import halo2_tpu.field.vec as fv
+
+    orig = fv.GROUP
+    fv.GROUP = ext_n * 2  # force the dispatch in quotient_ext to miss
+    try:
+        h_port = np.asarray(
+            ev.quotient_ext(
+                pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+                y, beta, gamma,
+            )
+        )
+    finally:
+        fv.GROUP = orig
+
+    assert np.array_equal(h_vec, h_port)
