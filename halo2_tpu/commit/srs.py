@@ -153,6 +153,28 @@ class ParamsKZG:
     def from_tau(k: int, tau: int) -> "ParamsKZG":
         n = 1 << k
         dom = get_domain(k)
+        if n <= 512:
+            # tiny SRS: host bigint generation beats compiling the 256-step
+            # fixed-base device scan (minutes of XLA compile on a cold cache
+            # — dominates keygen-heavy test/dryrun paths at small k)
+            g_pows = []
+            acc = 1
+            for _ in range(n):
+                g_pows.append(ec_host.g1_mul(ec_host.G1, acc))
+                acc = acc * tau % FR_MOD
+            c = dom.eval_vanishing(tau) * pow(n, -1, FR_MOD) % FR_MOD
+            gl = []
+            w = 1
+            for i in range(n):
+                li = w * c % FR_MOD * pow((tau - w) % FR_MOD, -1, FR_MOD) % FR_MOD
+                gl.append(ec_host.g1_mul(ec_host.G1, li))
+                w = w * dom.omega % FR_MOD
+            gx, gy, _ = g1.points_to_device(g_pows)
+            glx, gly, _ = g1.points_to_device(gl)
+            return ParamsKZG(
+                k=k, g_x=gx, g_y=gy, gl_x=glx, gl_y=gly,
+                g2=ec_host.G2, s_g2=ec_host.g2_mul(ec_host.G2, tau),
+            )
         tx, ty = _gen_table_device()
 
         # powers 1, tau, ..., tau^{n-1} (Montgomery, device) -> raw
@@ -215,9 +237,60 @@ class ParamsKZG:
         raw = mont.from_mont(FR, values_mont)
         return self._msm_affine(self.gl_x, self.gl_y, raw)
 
+    # batched variants: m MSMs dispatched without intermediate blocking and
+    # ONE affine-normalization readback at the end — through the tunneled
+    # relay this turns m round trips into 1 (the per-column commitment loop
+    # is the prover's dominant dispatch cost at small k).
+
+    def _msm_affine_batch(self, PX, PY, values_batch) -> list:
+        from ..ec.msm_vec import msm_vec, use_vec_msm
+        from ..field.bn254 import FQ_MOD
+        from ..field.limbs import mont_limbs_to_int
+
+        m = values_batch.shape[0]
+        if m == 0:
+            return []
+        raws = mont.from_mont(FR, values_batch)
+        if use_vec_msm(PX.shape[0]):
+            # production TPU pipeline folds per MSM on host (tiny readbacks)
+            return [msm_vec(PX, PY, raws[i]) for i in range(m)]
+        pts = [msm_mod.msm_device(PX, PY, raws[i]) for i in range(m)]
+        X = jnp.stack([p[0] for p in pts])
+        Y = jnp.stack([p[1] for p in pts])
+        Z = jnp.stack([p[2] for p in pts])
+        ax, ay, inf = g1.to_affine_batch((X, Y, Z))
+        axn, ayn, infn = np.asarray(ax), np.asarray(ay), np.asarray(inf)
+        out = []
+        for i in range(m):
+            if bool(infn[i]):
+                out.append(None)
+            else:
+                out.append(
+                    (
+                        mont_limbs_to_int(axn[i], FQ_MOD),
+                        mont_limbs_to_int(ayn[i], FQ_MOD),
+                    )
+                )
+        return out
+
+    def commit_lagrange_affine_batch(self, values_batch) -> list:
+        """[m, n, 16] evaluation-basis polys -> m host affine points."""
+        assert values_batch.ndim == 3 and values_batch.shape[1] == self.n
+        return self._msm_affine_batch(self.gl_x, self.gl_y, values_batch)
+
+    def commit_affine_batch(self, coeffs_batch) -> list:
+        """[m, q, 16] coefficient polys (q <= n) -> m host affine points."""
+        assert coeffs_batch.ndim == 3
+        q = coeffs_batch.shape[1]
+        return self._msm_affine_batch(self.g_x[:q], self.g_y[:q], coeffs_batch)
+
     # ---- serialization ------------------------------------------------------------
 
     def write(self) -> bytes:
+        """halo2_proofs rev 6b43b6b `ParamsKZG::write` byte layout, verified
+        against the reference wasm's `setup()` output: k (u32 LE), 2^k g
+        points then 2^k g_lagrange points as 64-byte MONTGOMERY-form x||y,
+        then g2 and s_g2 as 128-byte Montgomery-form Fq2 coordinates."""
         from ..field.limbs import mont_limbs_to_ints
 
         out = bytearray()
@@ -226,9 +299,9 @@ class ParamsKZG:
             xs = mont_limbs_to_ints(np.asarray(X), ec_host.Q)
             ys = mont_limbs_to_ints(np.asarray(Y), ec_host.Q)
             for x, y in zip(xs, ys):
-                out += ec_host.g1_to_uncompressed((x, y))
-        out += ec_host.g2_to_uncompressed(self.g2)
-        out += ec_host.g2_to_uncompressed(self.s_g2)
+                out += ec_host.g1_to_raw_bytes((x, y))
+        out += ec_host.g2_to_raw_bytes(self.g2)
+        out += ec_host.g2_to_raw_bytes(self.s_g2)
         return bytes(out)
 
     @staticmethod
@@ -246,11 +319,11 @@ class ParamsKZG:
         for _ in range(2):
             pts = []
             for _ in range(n):
-                pts.append(ec_host.g1_from_uncompressed(data[pos : pos + 64]))
+                pts.append(ec_host.g1_from_raw_bytes(data[pos : pos + 64]))
                 pos += 64
             groups.append(pts)
-        g2 = ec_host.g2_from_uncompressed(data[pos : pos + 128]); pos += 128
-        s_g2 = ec_host.g2_from_uncompressed(data[pos : pos + 128]); pos += 128
+        g2 = ec_host.g2_from_raw_bytes(data[pos : pos + 128]); pos += 128
+        s_g2 = ec_host.g2_from_raw_bytes(data[pos : pos + 128]); pos += 128
         gx, gy, _ = g1.points_to_device(groups[0])
         glx, gly, _ = g1.points_to_device(groups[1])
         return ParamsKZG(k=k, g_x=gx, g_y=gy, gl_x=glx, gl_y=gly, g2=g2, s_g2=s_g2)

@@ -11,7 +11,7 @@ partial reduction) riding ICI.
 from .mesh import make_mesh, shard_axis
 from .msm import msm_sharded, msm_sharded_vec
 from .ntt import intt_sharded, ntt_sharded
-from .pipeline import prove_step_sharded
+from .prover_ops import ShardedDomain, ShardedParams
 
 __all__ = [
     "make_mesh",
@@ -20,5 +20,6 @@ __all__ = [
     "intt_sharded",
     "msm_sharded",
     "msm_sharded_vec",
-    "prove_step_sharded",
+    "ShardedDomain",
+    "ShardedParams",
 ]

@@ -207,16 +207,16 @@ def g2_is_on_curve(P) -> bool:
 # ---------------------------------------------------------------------------
 # serialization — halo2curves-compatible byte layout
 # ---------------------------------------------------------------------------
-# G1 compressed (32B): x as LE bytes; top byte bit7 = y "sign" (y odd), bit6 =
-# infinity flag. G1 uncompressed (64B): x || y LE.  G2 doubles the widths with
+# G1 compressed (32B), halo2curves 9f5c508 (0.3.2) GroupEncoding layout (the
+# layout the reference's proof stream uses, SURVEY.md 7.3 #1): x as LE bytes,
+# top bit (byte 31 bit 7) = y parity; the identity is ALL-ZERO bytes (x = 0,
+# sign 0).  G1 uncompressed (64B): x || y LE.  G2 doubles the widths with
 # each Fq2 coordinate as c0 || c1.
 
 
 def g1_to_bytes(P) -> bytes:
     if P is None:
-        b = bytearray(32)
-        b[31] |= 0x40
-        return bytes(b)
+        return bytes(32)
     x, y = P
     b = bytearray(int(x).to_bytes(32, "little"))
     if y & 1:
@@ -226,18 +226,73 @@ def g1_to_bytes(P) -> bytes:
 
 def g1_from_bytes(b: bytes):
     b = bytearray(b)
-    flags = b[31] & 0xC0
-    b[31] &= 0x3F
+    ysign = b[31] >> 7
+    b[31] &= 0x7F
     x = int.from_bytes(bytes(b), "little")
-    if flags & 0x40:
+    if x >= Q:
+        raise ValueError("G1 x coordinate out of range")
+    if x == 0 and not ysign:
         return None
     yy = (x * x * x + 3) % Q
     y = _sqrt_fq(yy)
     if y is None:
         raise ValueError("invalid G1 compressed point")
-    if (y & 1) != (1 if flags & 0x80 else 0):
+    if (y & 1) != ysign:
         y = Q - y
     return (x, y)
+
+
+# raw (Montgomery-form) layout — what halo2_proofs rev 6b43b6b ParamsKZG
+# write()/read() actually uses (verified against setup() output of the
+# reference's wasm artifact): each coordinate is the internal Montgomery
+# residue v*R mod p as 32 LE bytes; the identity is (0, 0).
+
+_R_FQ = (1 << 256) % Q
+
+
+def g1_to_raw_bytes(P) -> bytes:
+    if P is None:
+        return bytes(64)
+    x, y = P
+    return (x * _R_FQ % Q).to_bytes(32, "little") + (y * _R_FQ % Q).to_bytes(
+        32, "little"
+    )
+
+
+def g1_from_raw_bytes(b: bytes):
+    rinv = pow(_R_FQ, -1, Q)
+    xm = int.from_bytes(b[:32], "little")
+    ym = int.from_bytes(b[32:64], "little")
+    if xm == 0 and ym == 0:
+        return None
+    if xm >= Q or ym >= Q:
+        raise ValueError("raw coordinate out of range")
+    P = (xm * rinv % Q, ym * rinv % Q)
+    if not g1_is_on_curve(P):
+        raise ValueError("point not on curve")
+    return P
+
+
+def g2_to_raw_bytes(P) -> bytes:
+    if P is None:
+        return bytes(128)
+    (x0, x1), (y0, y1) = P
+    out = b""
+    for v in (x0, x1, y0, y1):
+        out += (v * _R_FQ % Q).to_bytes(32, "little")
+    return out
+
+
+def g2_from_raw_bytes(b: bytes):
+    rinv = pow(_R_FQ, -1, Q)
+    vals = [
+        int.from_bytes(b[i * 32 : (i + 1) * 32], "little") * rinv % Q
+        for i in range(4)
+    ]
+    P = ((vals[0], vals[1]), (vals[2], vals[3]))
+    if not g2_is_on_curve(P):
+        raise ValueError("G2 point not on curve")
+    return P
 
 
 def g1_to_uncompressed(P) -> bytes:

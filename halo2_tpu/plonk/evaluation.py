@@ -94,6 +94,7 @@ def quotient_ext(
     gamma: int,
     lookup_exts=(),
     lookup_theta: int = 0,
+    mesh=None,
 ):
     """h over the extended coset (device array [ext_n, 16]).
 
@@ -102,11 +103,13 @@ def quotient_ext(
 
     Domains that tile the vec kernel layout run through the fused Pallas
     field kernels (_quotient_ext_vec); small domains use the portable layer.
+    Under a mesh the portable body runs SPMD over the sharded domain axis
+    (Pallas kernels don't auto-shard), rolls lowering to collectives.
     """
     cs = pk.vk.cs
     dom = pk.vk.domain
     ext_n = dom.extended_n
-    if ext_n % fv.GROUP == 0:
+    if ext_n % fv.GROUP == 0 and mesh is None:
         return _quotient_ext_vec(
             pk, advice_ext, instance_ext, z_exts, perm_value_exts,
             y, beta, gamma, lookup_exts, lookup_theta,

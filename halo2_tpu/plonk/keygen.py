@@ -8,9 +8,10 @@ note), builds the permutation sigma polynomials, and precomputes the
 extended-coset tables the prover needs (fixed/sigma cosets, l_0 / l_last /
 l_active_row).
 
-vk.transcript_repr: Blake2b("Halo2-Verify-Key") over a canonical pinned
-description (our structured repr stands in for Rust's Debug formatting of
-PinnedVerificationKey — byte parity with Rust is not claimed for this field).
+vk.transcript_repr: Blake2b("Halo2-Verify-Key") over the u64-length-prefixed
+`format!("{:?}", vk.pinned())` string, replicating Rust's Debug formatting of
+PinnedVerificationKey byte-for-byte (format recovered from the reference's
+checked-in wasm — see plonk/pinned.py for provenance and residual risk).
 """
 
 from __future__ import annotations
@@ -88,7 +89,7 @@ class VerifyingKey:
             transcript_repr=0,
             usable_row=u,
         )
-        vk.transcript_repr = _hash_vk(k, cs, groups[0], groups[1])
+        vk.transcript_repr = _hash_vk(k, cs, dom, groups[0], groups[1])
         return vk
 
 
@@ -120,13 +121,20 @@ def _commit_columns(params: ParamsKZG, values_dev) -> list:
     ]
 
 
-def _hash_vk(k: int, cs: ConstraintSystem, fixed_commitments, perm_commitments) -> int:
+def _hash_vk(k: int, cs: ConstraintSystem, dom: Domain,
+             fixed_commitments, perm_commitments) -> int:
+    """halo2's transcript_repr: Blake2b-512(person=b"Halo2-Verify-Key") over
+    the u64-LE-length-prefixed `format!("{:?}", vk.pinned())` string, reduced
+    from_bytes_wide (halo2_proofs plonk::VerifyingKey::from_parts; format
+    recovered from the reference wasm artifact — see plonk/pinned.py)."""
+    from .pinned import pinned_vk_repr
+
+    payload = pinned_vk_repr(
+        k, dom.extended_k, dom.omega, cs, fixed_commitments, perm_commitments
+    )
     h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-    payload = f"halo2_tpu-vk-v1;k={k};" + cs.pinned()
     h.update(len(payload).to_bytes(8, "little"))
     h.update(payload.encode())
-    for pt in list(fixed_commitments) + list(perm_commitments):
-        h.update(ec_host.g1_to_bytes(pt))
     return fr_from_u512(h.digest())
 
 
@@ -197,7 +205,7 @@ def keygen(params: ParamsKZG, circuit) -> ProvingKey:
         domain=dom,
         fixed_commitments=fixed_commitments,
         permutation_commitments=perm_commitments,
-        transcript_repr=_hash_vk(k, cs, fixed_commitments, perm_commitments),
+        transcript_repr=_hash_vk(k, cs, dom, fixed_commitments, perm_commitments),
         usable_row=u,
     )
     return ProvingKey(

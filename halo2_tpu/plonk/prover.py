@@ -29,7 +29,7 @@ from ..field import FR, mont
 from ..field.bn254 import FR_MOD
 from ..field.limbs import ints_to_mont_limbs, mont_limbs_to_int
 from ..frontend import synthesize
-from ..poly.ops import eval_polys_at, scalar_mont
+from ..poly.ops import eval_grouped, eval_polys_at, scalar_mont
 from ..transcript import Blake2bWrite
 from ..utils.profiling import PhaseTimer
 from . import lookup_dev
@@ -70,9 +70,19 @@ def create_proof(
     instances: list[list[int]],
     scheme: str = "gwc",
     rng_seed: bytes | None = None,
+    mesh=None,
 ) -> bytes:
+    """mesh: optional jax.sharding.Mesh — basis conversions run through the
+    sharded four-step NTT, commitments through the sharded MSM, and the
+    quotient's pointwise evaluation under auto-SPMD (dist/prover_ops.py).
+    Proof bytes are identical to the single-device path."""
     cs = pk.vk.cs
     dom = pk.vk.domain
+    if mesh is not None:
+        from ..dist.prover_ops import ShardedDomain, ShardedParams
+
+        dom = ShardedDomain(dom, mesh)
+        params = ShardedParams(params, mesh)
     k, n = pk.vk.k, 1 << pk.vk.k
     bf = cs.blinding_factors()
     u = pk.vk.usable_row
@@ -111,8 +121,7 @@ def create_proof(
             bi += 1
         advice_cols.append(vals)
     advice_lagrange = _to_device_columns(advice_cols, n)
-    for i in range(cs.num_advice):
-        com = params.commit_lagrange_affine(advice_lagrange[i])
+    for com in params.commit_lagrange_affine_batch(advice_lagrange):
         transcript.write_point(com)
     advice_coeff = dom.lagrange_to_coeff(advice_lagrange)
     advice_ext = dom.coeff_to_extended(advice_coeff)
@@ -144,12 +153,16 @@ def create_proof(
         )
         a_dev = jnp.concatenate([ap_u, a_blind], axis=0)
         s_dev = jnp.concatenate([sp_u, s_blind], axis=0)
-        transcript.write_point(params.commit_lagrange_affine(a_dev))
-        transcript.write_point(params.commit_lagrange_affine(s_dev))
         lookups_data.append(
             {"A_dev": A_dev, "S_dev": S_dev, "ap_u": ap_u, "sp_u": sp_u,
              "a_dev": a_dev, "s_dev": s_dev}
         )
+    if lookups_data:  # batched commits, written in the per-lookup a, s order
+        batch = jnp.stack(
+            [col for ld in lookups_data for col in (ld["a_dev"], ld["s_dev"])]
+        )
+        for com in params.commit_lagrange_affine_batch(batch):
+            transcript.write_point(com)
 
     timer.mark("prove.lookup_permute")
 
@@ -172,8 +185,8 @@ def create_proof(
             z = z.at[n - bf :, :].set(jnp.asarray(rand))
             blinded.append(z)
         zs = blinded
-        for z in zs:
-            transcript.write_point(params.commit_lagrange_affine(z))
+        for com in params.commit_lagrange_affine_batch(jnp.stack(zs)):
+            transcript.write_point(com)
 
     # ---- lookup grand products ---------------------------------------------------------
     for ld in lookups_data:
@@ -184,9 +197,10 @@ def create_proof(
             ints_to_mont_limbs(rng.field_elements(n - (u + 1)), FR_MOD)
         )
         ld["z_dev"] = jnp.concatenate([z_u, z_blind], axis=0)
-        transcript.write_point(
-            (params.commit_lagrange_affine(ld["z_dev"]))
-        )
+    if lookups_data:
+        batch = jnp.stack([ld["z_dev"] for ld in lookups_data])
+        for com in params.commit_lagrange_affine_batch(batch):
+            transcript.write_point(com)
 
     timer.mark("prove.grand_products")
 
@@ -216,13 +230,13 @@ def create_proof(
 
     h_ext = quotient_ext(
         pk, advice_ext, instance_ext, z_exts, perm_value_ext, y, beta, gamma,
-        lookup_exts=lookup_exts, lookup_theta=theta,
+        lookup_exts=lookup_exts, lookup_theta=theta, mesh=mesh,
     )
     h_coeff_full = dom.extended_to_coeff(h_ext)
     qd = cs.degree() - 1
     h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(qd)]
-    for piece in h_pieces:
-        transcript.write_point(params.commit_affine(piece))
+    for com in params.commit_affine_batch(jnp.stack(h_pieces)):
+        transcript.write_point(com)
 
     timer.mark("prove.quotient")
 
@@ -230,57 +244,87 @@ def create_proof(
     x = transcript.squeeze_challenge()
     x_next = dom.rotate_omega(x, 1)
     x_last = dom.rotate_omega(x, -(bf + 1))
+    x_inv = dom.rotate_omega(x, -1)
+    h_combined = _combine_h(h_pieces, x, n)
 
-    def evals_at(coeff_batch, point: int) -> list[int]:
-        if coeff_batch.shape[0] == 0:
-            return []
-        out = eval_polys_at(coeff_batch, scalar_mont(point))
-        return [mont_limbs_to_int(r, FR_MOD) for r in np.asarray(out)]
+    # Every opened polynomial is evaluated in ONE batched device pass with a
+    # single readback (eval_grouped): register (key, poly, point) requests,
+    # group them by point, then write the transcript in halo2's order.
+    order: list[tuple] = []  # (key, point) in registration order
+    req_polys: dict = {}
 
-    # advice evals in query order
+    def req(key, poly, point):
+        order.append((key, point))
+        req_polys[key] = poly
+
+    for (col, rot) in cs.advice_queries:
+        req(("advice", col, rot), advice_coeff[col], dom.rotate_omega(x, rot))
+    for (col, rot) in cs.fixed_queries:
+        req(("fixed", col, rot), pk.fixed_coeff[col], dom.rotate_omega(x, rot))
+    req(("random",), random_poly, x)
+    for i in range(len(perm_cols)):
+        req(("sigma", i), pk.sigma_coeff[i], x)
+    for i, zc in enumerate(z_coeffs):
+        req(("z", i, "x"), zc, x)
+        req(("z", i, "next"), zc, x_next)
+        if i < len(z_coeffs) - 1:
+            req(("z", i, "last"), zc, x_last)
+    for li, ld in enumerate(lookups_data):
+        req(("lz", li, "x"), ld["z_coeff"], x)
+        req(("lz", li, "next"), ld["z_coeff"], x_next)
+        req(("la", li, "x"), ld["a_perm_coeff"], x)
+        req(("la", li, "inv"), ld["a_perm_coeff"], x_inv)
+        req(("ls", li, "x"), ld["s_perm_coeff"], x)
+    req(("h",), h_combined, x)
+
+    pt_order: list[int] = []
+    pt_keys: dict = {}
+    for key, point in order:
+        if point not in pt_keys:
+            pt_keys[point] = []
+            pt_order.append(point)
+        pt_keys[point].append(key)
+    results = eval_grouped(
+        [(p, [req_polys[kk] for kk in pt_keys[p]]) for p in pt_order]
+    )
+    evals = {}
+    for p, vals in zip(pt_order, results):
+        for kk, v in zip(pt_keys[p], vals):
+            evals[kk] = v
+
+    # transcript writes, in the reference create_proof order
     advice_evals = {}
     for (col, rot) in cs.advice_queries:
-        pt = dom.rotate_omega(x, rot)
-        ev = _eval_single(advice_coeff[col], pt)
+        ev = evals[("advice", col, rot)]
         advice_evals[(col, rot)] = ev
         transcript.write_scalar(ev)
     fixed_evals = {}
     for (col, rot) in cs.fixed_queries:
-        pt = dom.rotate_omega(x, rot)
-        ev = _eval_single(pk.fixed_coeff[col], pt)
+        ev = evals[("fixed", col, rot)]
         fixed_evals[(col, rot)] = ev
         transcript.write_scalar(ev)
-    # vanishing: random eval
-    random_eval = _eval_single(random_poly, x)
+    random_eval = evals[("random",)]
     transcript.write_scalar(random_eval)
-    # permutation common (sigma) evals
     sigma_evals = []
     for i in range(len(perm_cols)):
-        ev = _eval_single(pk.sigma_coeff[i], x)
-        sigma_evals.append(ev)
-        transcript.write_scalar(ev)
-    # permutation z evals: per set z(x), z(wx), then z(x_last) if more sets remain
+        sigma_evals.append(evals[("sigma", i)])
+        transcript.write_scalar(sigma_evals[-1])
     z_evals = []
-    for i, zc in enumerate(z_coeffs):
-        e_x = _eval_single(zc, x)
-        e_next = _eval_single(zc, x_next)
-        entry = {"x": e_x, "next": e_next}
-        transcript.write_scalar(e_x)
-        transcript.write_scalar(e_next)
+    for i in range(len(z_coeffs)):
+        entry = {"x": evals[("z", i, "x")], "next": evals[("z", i, "next")]}
+        transcript.write_scalar(entry["x"])
+        transcript.write_scalar(entry["next"])
         if i < len(z_coeffs) - 1:
-            e_last = _eval_single(zc, x_last)
-            entry["last"] = e_last
-            transcript.write_scalar(e_last)
+            entry["last"] = evals[("z", i, "last")]
+            transcript.write_scalar(entry["last"])
         z_evals.append(entry)
-    # lookup evals: z(x), z(wx), A'(x), A'(w^-1 x), S'(x) per lookup
-    x_inv = dom.rotate_omega(x, -1)
-    for ld in lookups_data:
+    for li, ld in enumerate(lookups_data):
         ld["ev"] = {
-            "z": _eval_single(ld["z_coeff"], x),
-            "z_next": _eval_single(ld["z_coeff"], x_next),
-            "a": _eval_single(ld["a_perm_coeff"], x),
-            "a_inv": _eval_single(ld["a_perm_coeff"], x_inv),
-            "s": _eval_single(ld["s_perm_coeff"], x),
+            "z": evals[("lz", li, "x")],
+            "z_next": evals[("lz", li, "next")],
+            "a": evals[("la", li, "x")],
+            "a_inv": evals[("la", li, "inv")],
+            "s": evals[("ls", li, "x")],
         }
         for key in ("z", "z_next", "a", "a_inv", "s"):
             transcript.write_scalar(ld["ev"][key])
@@ -313,8 +357,7 @@ def create_proof(
     for i in range(len(perm_cols)):
         queries.append((f"sigma{i}", pk.sigma_coeff[i], x, sigma_evals[i]))
     # vanishing: combined h poly then random poly
-    h_combined = _combine_h(h_pieces, x, n)
-    h_eval = _eval_single(h_combined, x)
+    h_eval = evals[("h",)]
     queries.append(("h", h_combined, x, h_eval))
     queries.append(("random", random_poly, x, random_eval))
 

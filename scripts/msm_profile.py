@@ -45,7 +45,8 @@ def main():
     from halo2_tpu.ec import msm_vec as mv
     from halo2_tpu.ec import g1_vec as gv
 
-    k = 20
+    import os
+    k = int(os.environ.get("PROF_K", "20"))
     n = 1 << k
     c = 16
     V = 1 << c
@@ -53,9 +54,13 @@ def main():
 
     from halo2_tpu.utils import device_put_chunked
 
-    d = np.load(".bench_cache/msm_points_k20.npz")
-    PX = device_put_chunked(d["px"])
-    PY = device_put_chunked(d["py"])
+    d = np.load(".bench_cache/msm_points_k16.npz")
+    px, py = d["px"], d["py"]
+    if n > px.shape[0]:
+        reps = n // px.shape[0]
+        px, py = np.tile(px, (reps, 1)), np.tile(py, (reps, 1))
+    PX = device_put_chunked(px[:n])
+    PY = device_put_chunked(py[:n])
     PXY = jnp.concatenate([PX, PY], axis=1)
     fence(PXY)
 
@@ -110,13 +115,13 @@ def main():
         fence(v)
     timeit("bucket reduce (64K)", lambda t: f_reduce(*t), Ts)
 
-    # full MSM
-    s_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    s_np[:, 15] &= 0x2FFF
-    scalars = jnp.asarray(s_np)
-    t0 = time.perf_counter()
-    fence(mv._msm_window_partials(PX, PY, scalars, c))
-    log(f"full msm compile+run: {time.perf_counter()-t0:.1f} s")
+    if os.environ.get("PROF_FULL"):
+        s_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+        s_np[:, 15] &= 0x2FFF
+        scalars = jnp.asarray(s_np)
+        t0 = time.perf_counter()
+        fence(mv._msm_window_partials(PX, PY, scalars, c))
+        log(f"full msm compile+run: {time.perf_counter()-t0:.1f} s")
 
 
 if __name__ == "__main__":

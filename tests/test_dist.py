@@ -83,23 +83,3 @@ def test_msm_sharded_vec_matches_host(mesh, rng):
     assert got == want
 
 
-def test_prove_step_sharded_runs(mesh, rng):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    k = 6
-    n = 1 << k
-    dom = get_domain(k)
-    m = 3
-    vals = rng.integers(0, 2**63, size=(m, n))
-    adv = jnp.asarray(
-        np.stack([ints_to_mont_limbs([int(v) for v in row], FR_MOD) for row in vals])
-    )
-    adv = jax.device_put(adv, NamedSharding(mesh, P(None, "shard")))
-    pts = [ec_host.g1_mul(ec_host.G1, i + 1) for i in range(n)]
-    PX, PY, _ = g1.points_to_device(pts)
-    sh = row_sharding(mesh)
-    gate, com = dist.prove_step_sharded(
-        mesh, adv, jax.device_put(PX, sh), jax.device_put(PY, sh), k, dom.omega
-    )
-    assert gate.shape == (n, 16)
-    assert g1.point_to_host(com) is not None

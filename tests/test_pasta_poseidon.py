@@ -136,3 +136,37 @@ def test_unstringify():
     val = 0xDEADBEEF1234
     b64 = base64.b64encode(val.to_bytes(6, "big")).decode()
     assert unstringify_hex(b64) == str(val)
+
+
+# ---------------------------------------------------------------------------
+# FULL zcash-test-vectors suites (all 11 permute + 11 hash vectors per field,
+# reference: circuits/src/poseidon/primitives/test_vectors.rs:1-1261 — the
+# round-1 review flagged that only one spot-check vector per field was
+# asserted; these are the complete byte-level suites).
+# ---------------------------------------------------------------------------
+
+from poseidon_zcash_vectors import FP_HASH, FP_PERMUTE, FQ_HASH, FQ_PERMUTE
+
+
+def test_permute_full_suite_fp():
+    spec = p128pow5t3_fp()
+    for initial, final in FP_PERMUTE:
+        assert permute(spec, list(initial)) == list(final)
+
+
+def test_permute_full_suite_fq():
+    spec = p128pow5t3_fq()
+    for initial, final in FQ_PERMUTE:
+        assert permute(spec, list(initial)) == list(final)
+
+
+def test_hash_full_suite_fp():
+    spec = p128pow5t3_fp()
+    for message, output in FP_HASH:
+        assert hash_constant_length(spec, list(message)) == output
+
+
+def test_hash_full_suite_fq():
+    spec = p128pow5t3_fq()
+    for message, output in FQ_HASH:
+        assert hash_constant_length(spec, list(message)) == output
