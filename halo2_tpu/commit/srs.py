@@ -118,6 +118,32 @@ def _fixed_base_mul_batch_vec(table_x, table_y, scalars_raw):
     return acc
 
 
+def _fixed_base_affine_chunked(table_x, table_y, scalars_raw, chunk=1 << 16):
+    """[n, 16] raw scalars -> device affine (X, Y) [n, 16] Montgomery arrays
+    via the vec fixed-base scan, processed in 2^16-scalar chunks.
+
+    The portable [n, 16]-layout scan (_fixed_base_mul_batch) crashes the TPU
+    worker at n = 2^20 (reproducible XLA:TPU fault in the 256-step scan
+    program; bisected 2026-08-20 round 3); the Pallas vec pipeline at 2^16
+    chunks is the proven path (bench.py point generation) and ~10x faster.
+    All chunks share one compiled program and stay device-resident.
+    """
+    n = scalars_raw.shape[0]
+    assert n % 1024 == 0, n
+    chunk = min(chunk, n)
+    outs_x, outs_y = [], []
+    for lo in range(0, n, chunk):
+        X, Y, Z = _fixed_base_mul_batch_vec(table_x, table_y,
+                                            scalars_raw[lo : lo + chunk])
+        P = tuple(jnp.transpose(a.reshape(16, chunk), (1, 0)) for a in (X, Y, Z))
+        ax, ay, _ = g1.to_affine_batch(P)
+        outs_x.append(ax)
+        outs_y.append(ay)
+    if len(outs_x) == 1:
+        return outs_x[0], outs_y[0]
+    return jnp.concatenate(outs_x), jnp.concatenate(outs_y)
+
+
 @dataclass(eq=False)
 class ParamsKZG:
     """SRS held on device: g / g_lagrange as [n, 16] Montgomery coordinate
@@ -180,8 +206,7 @@ class ParamsKZG:
         # powers 1, tau, ..., tau^{n-1} (Montgomery, device) -> raw
         pw = powers_table(tau, k)
         pw_raw = mont.from_mont(FR, pw)
-        gj = _fixed_base_mul_batch(tx, ty, pw_raw)
-        gx, gy, _ = g1.to_affine_batch(gj)
+        gx, gy = _fixed_base_affine_chunked(tx, ty, pw_raw)
 
         # Lagrange basis at tau: L_i(tau) = w^i (tau^n - 1) / (n (tau - w^i))
         wpow = powers_table(dom.omega, k)  # [n,16] Montgomery
@@ -191,8 +216,7 @@ class ParamsKZG:
         denom = mont.sub(FR, jnp.broadcast_to(tau_m, wpow.shape), wpow)
         li = mont.mul(FR, mont.mul(FR, wpow, mont.batch_inv(FR, denom)), c_m)
         li_raw = mont.from_mont(FR, li)
-        glj = _fixed_base_mul_batch(tx, ty, li_raw)
-        glx, gly, _ = g1.to_affine_batch(glj)
+        glx, gly = _fixed_base_affine_chunked(tx, ty, li_raw)
 
         g2 = ec_host.G2
         s_g2 = ec_host.g2_mul(ec_host.G2, tau)

@@ -26,14 +26,19 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ec import jax_g1 as g1
-from ..ec.msm import _msm_core
+from ..ec.msm import TINY_MSM_MAX, _msm_core, _msm_tiny
 from .mesh import SHARD_AXIS
 
 
 @functools.partial(jax.jit, static_argnames=("c", "mesh"))
 def _msm_sharded_jit(PX, PY, scalars, c: int, mesh):
     def local(px, py, s):
-        x, y, z = _msm_core(px, py, s, c)
+        # c == 0 selects the compile-light bit-serial kernel (tiny shards:
+        # the CPU-mesh dryrun, where XLA:CPU compile time dominates)
+        if c == 0:
+            x, y, z = _msm_tiny(px, py, s)
+        else:
+            x, y, z = _msm_core(px, py, s, c)
         gx = jax.lax.all_gather(x, SHARD_AXIS)  # [d, 16]
         gy = jax.lax.all_gather(y, SHARD_AXIS)
         gz = jax.lax.all_gather(z, SHARD_AXIS)
@@ -74,7 +79,10 @@ def msm_sharded(PX, PY, scalars, mesh, c: int | None = None):
         raise ValueError(f"point count {n} not divisible by mesh size {d}")
     if c is None:
         local_n = n // d
-        c = 16 if local_n >= (1 << 16) else (8 if local_n >= (1 << 7) else 4)
+        if local_n <= TINY_MSM_MAX:
+            c = 0
+        else:
+            c = 16 if local_n >= (1 << 16) else (8 if local_n >= (1 << 7) else 4)
     return _msm_sharded_jit(PX, PY, scalars, c, mesh)
 
 

@@ -15,6 +15,16 @@ from ..field.bn254 import FQ_MOD as Q
 from ..field.bn254 import FR_MOD as R
 from ..field.bn254 import G1_GEN, G2_GEN_X, G2_GEN_Y
 
+# native C++ acceleration for the hot G1 paths (scalar mul, small MSMs);
+# pure-Python below stays the ground truth and the fallback
+try:
+    from .. import native as _native
+
+    if _native.lib() is None:
+        _native = None
+except Exception:  # pragma: no cover - loader failures degrade to Python
+    _native = None
+
 # ---------------------------------------------------------------------------
 # Fq2 = Fq[u] / (u^2 + 1), elements as (c0, c1)
 # ---------------------------------------------------------------------------
@@ -156,6 +166,8 @@ def g1_double(P):
 
 
 def g1_mul(P, k: int):
+    if _native is not None:
+        return _native.jac_to_affine(_native.g1_mul_jac(P, k % R))
     return _pt_mul(P, k, _FQ_OPS)
 
 
@@ -172,6 +184,8 @@ def g1_is_on_curve(P) -> bool:
 
 def g1_msm_host(points, scalars):
     """Tiny reference MSM (for tests / ground truth only)."""
+    if _native is not None:
+        return _native.g1_msm(list(points), [s % R for s in scalars])
     acc = None
     for P, s in zip(points, scalars):
         acc = g1_add(acc, g1_mul(P, s))

@@ -110,6 +110,50 @@ def _window_sum(PX, PY, digits, c: int):
     return tuple(t[0] for t in T)
 
 
+@jax.jit
+def _msm_tiny(PX, PY, scalars):
+    """Bit-serial MSB-first Straus MSM for tiny point counts.
+
+    Compile-light by design: the fori_loop body holds ONE doubling, ONE
+    masked select, and log2(n) tree adds — roughly 3 + log2(n) inlined
+    point bodies versus the ~15 of the sort+scan window pipeline.  On the
+    single-core XLA:CPU path (the 8-virtual-device mesh dryrun and the
+    test suite) compile time tracks traced-graph size, so the tiny sizes
+    the dryrun provers use (n <= 256 per shard) go through this instead
+    of `_msm_core`.  Runtime is O(SCALAR_BITS * n) point adds — only
+    sensible at tiny n, where dispatch overhead dominates anyway.
+    """
+    n = PX.shape[0]
+    one = jnp.broadcast_to(jnp.asarray(g1._ONE), (n, 16))
+    # bits[b] = bit (255 - b) of every scalar — MSB-first, [256, n]
+    limbs = jnp.transpose(scalars, (1, 0))  # [16, n]
+    shifts = jnp.arange(15, -1, -1, dtype=jnp.uint32)  # MSB-first in-limb
+    bits = ((limbs[:, None, :] >> shifts[None, :, None]) & 1).astype(jnp.uint32)
+    bits = bits[::-1].reshape(SCALAR_BITS, n)  # limb 15 holds the top bits
+
+    def body(i, acc):
+        m = jax.lax.dynamic_slice_in_dim(bits, i, 1, axis=0)[0] != 0  # [n]
+        P = (PX, PY, jnp.where(m[:, None], one, jnp.uint32(0)))
+        while P[0].shape[0] > 1:
+            half = P[0].shape[0] // 2
+            rest = tuple(t[2 * half :] for t in P)
+            P = g1.padd(
+                tuple(t[:half] for t in P), tuple(t[half : 2 * half] for t in P)
+            )
+            if rest[0].shape[0]:
+                P = tuple(
+                    jnp.concatenate([a, r], axis=0) for a, r in zip(P, rest)
+                )
+        acc = g1.pdouble(acc)
+        return g1.padd(acc, tuple(t[0] for t in P))
+
+    init = g1.identity(())
+    return jax.lax.fori_loop(0, SCALAR_BITS, body, init)
+
+
+TINY_MSM_MAX = 256
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _msm_core(PX, PY, scalars, c: int):
     digits_all = _digits_for_windows(scalars, c)  # [n_windows, n]
@@ -144,6 +188,8 @@ def msm_device(PX, PY, scalars, c: int | None = None):
     Returns a Jacobian point (x, y, z) of [16] arrays.
     """
     n = PX.shape[0]
+    if c is None and n <= TINY_MSM_MAX:
+        return _msm_tiny(PX, PY, scalars)
     if c is None:
         c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
     return _msm_core(PX, PY, scalars, c)

@@ -378,14 +378,37 @@ def msm_vec(PX, PY, scalars, c: int | None = None, glv: bool | None = None):
         # base points, or a genuine curve collision) — safe body re-run
         parts = np.asarray(fn(PX, PY, scalars, c, safe=True)[0])
 
-    def to_host(coords):  # [48] mont limbs triple -> host Jacobian -> affine
-        x = mont_limbs_to_int(coords[0:16], FQ_MOD)
-        y = mont_limbs_to_int(coords[16:32], FQ_MOD)
-        z = mont_limbs_to_int(coords[32:48], FQ_MOD)
-        return ec_host.g1_jacobian_to_affine(x, y, z)
+    return _fold_partials(parts, c)
+
+
+def _jac_ints(coords):
+    """[48] mont limbs triple -> standard-form (x, y, z) ints."""
+    return (
+        mont_limbs_to_int(coords[0:16], FQ_MOD),
+        mont_limbs_to_int(coords[16:32], FQ_MOD),
+        mont_limbs_to_int(coords[32:48], FQ_MOD),
+    )
+
+
+def _fold_partials(parts, c: int):
+    """Horner window fold of [n_windows, 2, 48] (T_max, sum_T) partials ->
+    host affine point (or None).  Runs in the native C++ library when
+    available (halo2_tpu/native), else over Python bigints."""
+    from .. import native
+
+    V = 1 << c
+    n_windows = parts.shape[0]
+    if native.lib() is not None:
+        return native.msm_fold(
+            [(_jac_ints(parts[w, 0, :]), _jac_ints(parts[w, 1, :]))
+             for w in range(n_windows)],
+            c,
+        )
+
+    def to_host(coords):
+        return ec_host.g1_jacobian_to_affine(*_jac_ints(coords))
 
     acc = None
-    n_windows = parts.shape[0]
     for w in range(n_windows - 1, -1, -1):
         for _ in range(c):
             acc = ec_host.g1_double(acc)
