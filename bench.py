@@ -82,24 +82,36 @@ def emit():
     )
 
 
+def _rand_limbs_device(seed: int, n: int):
+    """[n, 16] random 16-bit-limb field elements generated ON DEVICE (the
+    round-2 bench lost 536 s uploading this array through the relay).  Top
+    limb masked so the value is < p (both moduli have top limb >= 0x3064)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        bits = jax.random.bits(key, (n, 16), dtype=jnp.uint32) & 0xFFFF
+        mask = jnp.full((16,), 0xFFFF, jnp.uint32).at[15].set(0x2FFF)
+        return bits & mask[None, :]
+
+    return gen(jax.random.PRNGKey(seed))
+
+
 def bench_ntt(k: int) -> float:
     import jax
     import jax.numpy as jnp
 
     from halo2_tpu.field.bn254 import FR_MOD, FR_ROOT_OF_UNITY, FR_S
     from halo2_tpu.poly.ntt_pallas import _ntt_jit
-    from halo2_tpu.utils import device_put_chunked
     from halo2_tpu.utils.profiling import ntt_roofline
 
     n = 1 << k
     omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - k), FR_MOD)
-    rng = np.random.default_rng(1)
-    # random Montgomery residues: 16-bit limbs with the top limb masked < p
-    a_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    a_np[:, 15] &= 0x2FFF  # keep < p (p top limb is 0x3064)
     t0 = time.perf_counter()
-    a = device_put_chunked(a_np)  # 268 MB: a single put stalls the relay
-    log(f"ntt 2^{k}: upload {time.perf_counter()-t0:.2f}s")
+    a = _rand_limbs_device(1, n)
+    np.asarray(a[:1])  # completion fence
+    log(f"ntt 2^{k}: on-device input gen {time.perf_counter()-t0:.2f}s")
 
     t0 = time.perf_counter()
     np.asarray(_ntt_jit(a, k, omega, False)[:1])  # readback forces completion
@@ -164,11 +176,17 @@ def _msm_points(k: int):
         py = np.concatenate(chunks_y)
         os.makedirs(CACHE_DIR, exist_ok=True)
         np.savez(path, px=px, py=py)
+    import jax
+
+    PX = device_put_chunked(px)
+    PY = device_put_chunked(py)
     if k > kb:
+        # tile ON DEVICE (uploading the tiled 2^k copies through the relay
+        # wastes budget; the kernel's work is value-independent)
         reps = 1 << (k - kb)
-        px = np.tile(px, (reps, 1))
-        py = np.tile(py, (reps, 1))
-    return device_put_chunked(px), device_put_chunked(py)
+        tile = jax.jit(lambda a: jnp.tile(a, (reps, 1)), static_argnums=())
+        PX, PY = tile(PX), tile(PY)
+    return PX, PY
 
 
 def bench_msm(k: int) -> float:
@@ -190,31 +208,27 @@ def bench_msm(k: int) -> float:
     c = int(os.environ.get("BENCH_MSM_C", "0")) or (16 if n >= (1 << 16) else 8)
     glv = os.environ.get("BENCH_MSM_GLV", "1") != "0"
     partials = _msm_window_partials_glv if glv else _msm_window_partials
-    s_np = np.random.default_rng(2).integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
-    s_np[:, 15] &= 0x2FFF
-    scalars = device_put_chunked(s_np)
+    scalars = _rand_limbs_device(2, n)
+    np.asarray(scalars[:1])
     t0 = time.perf_counter()
     np.asarray(partials(PX, PY, scalars, c)[0])
     log(f"msm 2^{k} (glv={glv}): compile+first run {time.perf_counter()-t0:.2f}s")
-    times = []
     reps = REPS if remaining_s() > 60 * REPS else max(1, int(remaining_s() // 90))
-    for i in range(reps):
-        s_np = np.random.default_rng(100 + i).integers(
-            0, 1 << 16, size=(n, 16), dtype=np.uint32
-        )
-        s_np[:, 15] &= 0x2FFF
-        # fresh scalars per rep (the relay can short-circuit identical
-        # dispatches) but UPLOADED AND FENCED before the timed region: the
-        # prover's scalars are device-resident, so the 64 MB host->device
-        # relay transfer is not part of the MSM.
-        sc = device_put_chunked(s_np)
-        t0 = time.perf_counter()
-        np.asarray(partials(PX, PY, sc, c)[0])
-        times.append((time.perf_counter() - t0) * 1e3)
-        if remaining_s() < 30:
-            break
-    ms = min(times)
-    log(f"msm 2^{k}: {ms:.2f} ms (min of {len(times)}, fresh device-resident scalars)")
+    # fresh scalars per rep (the relay can short-circuit identical
+    # dispatches), generated on device and FENCED before the timed region:
+    # the prover's scalars are device-resident, so scalar generation is not
+    # part of the MSM.  All reps are DISPATCHED asynchronously and fenced
+    # once — the ~30-80 ms relay round trip amortizes over the batch the
+    # same way the prover's back-to-back commitment MSMs do.
+    scs = [_rand_limbs_device(100 + i, n) for i in range(reps)]
+    for sc in scs:
+        np.asarray(sc[:1])
+    t0 = time.perf_counter()
+    outs = [partials(PX, PY, sc, c)[0] for sc in scs]
+    for o in outs:
+        np.asarray(o)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    log(f"msm 2^{k}: {ms:.2f} ms (chained avg of {reps}, fresh device-resident scalars)")
     rl = msm_roofline(k, c)
     _detail["msm_roofline_pct"] = round(
         100.0 * max(rl["compute_floor_ms"], rl["sort_gather_floor_ms"]) / ms, 1
@@ -257,18 +271,20 @@ def main():
     enable_compilation_cache()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     log(f"budget: {BUDGET_S:.0f}s")
-    try:
-        _detail["ntt_ms"] = round(bench_ntt(K_NTT), 2)
-    except Exception as e:  # a failed stage must not lose the others
-        log(f"ntt stage failed: {e!r}")
-    emit()
-    if remaining_s() > 60:
+    ops = os.environ.get("BENCH_OPS", "ntt,msm").split(",")
+    if "ntt" in ops:
+        try:
+            _detail["ntt_ms"] = round(bench_ntt(K_NTT), 2)
+        except Exception as e:  # a failed stage must not lose the others
+            log(f"ntt stage failed: {e!r}")
+        emit()
+    if "msm" in ops and remaining_s() > 60:
         try:
             _detail["msm_ms"] = round(bench_msm(K_MSM), 2)
         except Exception as e:
             log(f"msm stage failed: {e!r}")
         emit()
-    else:
+    elif "msm" in ops:
         log("budget exhausted before msm stage")
     if os.environ.get("BENCH_PROVE") and remaining_s() > 120:
         _detail["prove"] = bench_prove()

@@ -619,6 +619,106 @@ def _rank_scan_call(chunk: int, chains: int, mixed: bool = True,
 
 
 @functools.lru_cache(maxsize=None)
+def _rank_scan_rows_call(chunk: int, nblocks: int, nodbl: bool = False):
+    """Row-major chain scan over PACKED limb planes.
+
+    Input: 16 planes [nblocks, chunk*8, 128] u32, plane j holding limbs
+    (2j, 2j+1) packed lo|hi<<16 — j < 8 the affine X, j >= 8 the affine Y of
+    the digit-sorted point stream.  Position [b, r*8+s, l] = rank
+    (b*1024 + s*128 + l)*chunk + r, i.e. each of the 1024 chains of a block
+    owns `chunk` CONTIGUOUS ranks and rank-step r of all chains is ONE
+    aligned (8, 128) sublane tile: the serial loop reads/writes whole tiles
+    with zero in-kernel relayout (the [chains, chunk] -> [chunk*8, 128]
+    transpose runs OUTSIDE as one XLA transpose per plane, bandwidth-bound,
+    instead of the previous kernel's per-block VMEM transposes + per-step
+    sublane stacking — the reason the old scan ran ~10x off its ALU floor).
+
+    Output: 24 packed planes (X, Y, Z accumulator limbs, same layout);
+    nodbl appends a flag plane [nblocks, 8, 128] (nonzero where an acc == q
+    collision invalidated the doubling-free body).
+    """
+    p16, n0inv = fv._field_consts(FQ)
+    L = fv.L
+
+    def kernel(*refs):
+        ins = refs[:16]
+        outs = refs[16:40]
+        flag_ref = refs[40] if nodbl else None
+
+        def read(r):
+            off = pl.multiple_of(r * 8, 8)
+            xs, ys = [], []
+            for j in range(16):
+                v = ins[j][0, pl.ds(off, 8), :]
+                (xs if j < 8 else ys).extend([v & 0xFFFF, v >> 16])
+            return xs, ys
+
+        def write(r, coords):
+            off = pl.multiple_of(r * 8, 8)
+            for ci in range(3):
+                for j in range(8):
+                    outs[ci * 8 + j][0, pl.ds(off, 8), :] = coords[ci][
+                        2 * j
+                    ] | (coords[ci][2 * j + 1] << 16)
+
+        xs, ys = read(0)
+        one = [jnp.full_like(xs[0], _ONE16[i]) for i in range(L)]
+        acc0 = (tuple(xs), tuple(ys), tuple(one))
+        write(0, acc0)
+
+        def body(r, carry):
+            acc = tuple([c[i] for i in range(L)] for c in carry[:3])
+            xq, yq = read(r)
+            if nodbl:
+                out, same = _padd_mixed_body(
+                    acc, (xq, yq), p16, n0inv, with_dbl=False
+                )
+            else:
+                out = _padd_mixed_body(acc, (xq, yq), p16, n0inv)
+            out = tuple(tuple(c) for c in out)
+            write(r, out)
+            if nodbl:
+                return out + (carry[3] | same.astype(jnp.uint32),)
+            return out
+
+        init = acc0
+        if nodbl:
+            init = acc0 + (jnp.zeros((8, 128), jnp.uint32),)
+        fin = jax.lax.fori_loop(1, chunk, body, init)
+        if nodbl:
+            flag_ref[0] = fin[3]
+
+    bs = pl.BlockSpec(
+        (1, chunk * 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((nblocks, chunk * 8, 128), jnp.uint32)
+    out_shapes = (shape,) * 24
+    out_specs = (bs,) * 24
+    if nodbl:
+        flag_bs = pl.BlockSpec(
+            (1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((nblocks, 8, 128), jnp.uint32),
+        )
+        out_specs = out_specs + (flag_bs,)
+    import os as _os
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=(nblocks,),
+        in_specs=[bs] * 16,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        # CPU-side numeric validation of the kernel body (tests only)
+        interpret=bool(_os.environ.get("HALO2_PALLAS_INTERPRET")),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _offset_add_call(chunk: int, rows: int, lanes: int, sub: int = 8):
     """out[:, r*sub+s, :] = padd(x[:, r*sub+s, :], off[:, s, :]) for every
     r — adds each chain's exclusive offset to its local prefixes."""

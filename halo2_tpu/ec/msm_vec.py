@@ -195,6 +195,116 @@ def _rank_prefix_scan(P, m: int):
     )
 
 
+def _pack_xy(PX, PY):
+    """[n, 16] + [n, 16] 16-bit limbs -> [n, 16] PACKED u32 planes (plane j:
+    limbs 2j | 2j+1 << 16 of X for j < 8, of Y for j >= 8).  Halves the
+    payload bytes the per-window digit sort moves."""
+    lox = PX[:, 0::2] | (PX[:, 1::2] << 16)
+    loy = PY[:, 0::2] | (PY[:, 1::2] << 16)
+    return jnp.concatenate([lox, loy], axis=1)
+
+
+def _rows_prep(plane, nblocks: int, chunk: int):
+    """Sorted rank stream [n] -> [nblocks, chunk*8, 128] row-major blocks
+    (chain b*1024 + s*128 + l owns ranks chain*chunk + r at [b, r*8+s, l])."""
+    return (
+        plane.reshape(nblocks, 1024, chunk)
+        .swapaxes(1, 2)
+        .reshape(nblocks, chunk * 8, 128)
+    )
+
+
+def _rows_pos(e, chunk: int):
+    """Rank e -> flat index into a [nblocks, chunk*8, 128] plane."""
+    chain = e // chunk
+    r = e % chunk
+    b = chain >> 10
+    s = (chain & 1023) >> 7
+    l = chain & 127
+    return ((b * chunk + r) * 8 + s) * 128 + l
+
+
+def _unpack_gather(planes, pos):
+    """Gather packed planes at flat positions and unpack to coordinate limb
+    stacks: planes = 24 packed [nblocks, chunk*8, 128]; returns (X, Y, Z)
+    each [16, K]."""
+    coords = []
+    for ci in range(3):
+        limbs = []
+        for j in range(8):
+            v = jnp.take(planes[ci * 8 + j].reshape(-1), pos)
+            limbs += [v & 0xFFFF, v >> 16]
+        coords.append(jnp.stack(limbs))
+    return tuple(coords)
+
+
+def _ablate() -> set:
+    """TIMING DIAGNOSTICS ONLY: comma list in HALO2_MSM_TIMING_ABLATE of
+    pipeline pieces to stub out (results become WRONG; shapes/costs of the
+    remaining pieces are preserved).  Pieces: sort (keys-only sort, payload
+    rides unpermuted), scan (skip the rank-scan kernel), tails (skip the
+    searchsorted), gathers (slices instead of prefix gathers), offsets (skip
+    the chain-offset recursion), reduce (skip the bucket tree reduce)."""
+    import os
+
+    return set(
+        filter(None, os.environ.get("HALO2_MSM_TIMING_ABLATE", "").split(","))
+    )
+
+
+def _rank_prefix_at_rows(sorted_packed, n: int, idx, safe: bool):
+    """Row-major scan over the packed sorted stream + prefix values at rank
+    indices `idx` [K].  Returns (T coords [16, K] triple, flag u32)."""
+    ab = _ablate()
+    CHUNK = gv.SCAN_CHUNK
+    chains = n // CHUNK
+    nblocks = chains // 1024
+    ins = [_rows_prep(p, nblocks, CHUNK) for p in sorted_packed]
+    if "scan" in ab:
+        pref = tuple(ins) + tuple(ins[:8])
+        flag = jnp.uint32(0)
+    else:
+        outs = gv._rank_scan_rows_call(CHUNK, nblocks, nodbl=not safe)(*ins)
+        pref = outs[:24]
+        flag = jnp.max(outs[24]) if not safe else jnp.uint32(0)
+    # chain totals (rank CHUNK-1 of every chain) -> exclusive offsets
+    tot = []
+    for ci in range(3):
+        limbs = []
+        for j in range(8):
+            v = pref[ci * 8 + j][:, (CHUNK - 1) * 8 :, :].reshape(chains)
+            limbs += [v & 0xFFFF, v >> 16]
+        tot.append(jnp.stack(limbs))
+    if "offsets" in ab:
+        offs = tuple(tot)
+    else:
+        tot_pref = _rank_prefix_scan(tuple(tot), chains)
+        offs = tuple(
+            jnp.concatenate(
+                [jnp.zeros((16, 1), dtype=a.dtype), a[:, :-1]], axis=1
+            )
+            for a in tot_pref
+        )
+    if "gathers" in ab:
+        K = idx.shape[0]
+        local = []
+        for ci in range(3):
+            limbs = []
+            for j in range(8):
+                v = pref[ci * 8 + j].reshape(-1)[:K]  # slice, not gather
+                limbs += [v & 0xFFFF, v >> 16]
+            local.append(jnp.stack(limbs))
+        local = tuple(local)
+        off_at = tuple(a[:, : min(K, a.shape[1])] for a in offs)
+        off_at = tuple(
+            jnp.pad(a, ((0, 0), (0, K - a.shape[1]))) for a in off_at
+        )
+    else:
+        local = _unpack_gather(pref, _rows_pos(idx, CHUNK))
+        off_at = tuple(jnp.take(a, idx // CHUNK, axis=1) for a in offs)
+    return _vpadd_flat(local, off_at, idx.shape[0]), flag
+
+
 def _rank_prefix_at(xcols, ycols, n: int, idx, nodbl: bool = False):
     """Inclusive-prefix values of the sorted point stream at rank indices
     `idx` [K]: rank-major scan + gathers at chained positions + one padd.
@@ -266,40 +376,58 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
     V = 1 << c
     digits_all = _digits(scalars, c, bits)
     one = jnp.asarray(gv._ONE_COL.reshape(16))
-    # the point limbs ride the sort as payload operands: measured CHEAPER
-    # than sorting (key, iota) and row-gathering the points afterwards
-    # (12 ms vs 13.6 + 22 ms — XLA's row gather runs at gather-op overhead
-    # speed regardless of locality, scripts/gather_probe.py)
-    PXY = jnp.concatenate([PX, PY], axis=1)  # [n, 32]
-    pcols = tuple(PXY[:, i] for i in range(32))  # hoisted out of the scan
-
     assert c <= 16, "digits must fit u16 (sort keys)"
 
     CHUNK = gv.SCAN_CHUNK
     chains = n // CHUNK
-    fast = not fv._interpret() and n % CHUNK == 0 and chains % 128 == 0
+    fast = not fv._interpret() and n % (CHUNK * 1024) == 0
+    # the point limbs ride the sort as PACKED payload operands (2 limbs per
+    # u32 plane, 17 sort operands total): measured cheaper than sorting
+    # (key, iota) and row-gathering the points afterwards (XLA's row gather
+    # runs at gather-op overhead speed regardless of locality,
+    # scripts/gather_probe.py), and packing halves the sort's byte traffic
+    if fast:
+        packed = _pack_xy(PX, PY)  # [n, 16]
+        pcols = tuple(packed[:, i] for i in range(16))
+    else:
+        PXY = jnp.concatenate([PX, PY], axis=1)  # [n, 32]
+        pcols = tuple(PXY[:, i] for i in range(32))
+
+    ab = _ablate()
 
     def one_window(carry, d):
         # bucket grouping only needs GROUPED order, not a stable sort
-        sorted_ops = jax.lax.sort(
-            (d.astype(jnp.uint16),) + pcols,
-            num_keys=1,
-            is_stable=False,
-            dimension=0,
-        )
-        sd = sorted_ops[0]
+        if "sort" in ab and fast:
+            # TIMING DIAGNOSTIC ONLY (wrong results): keys-only sort, the
+            # un-permuted planes ride through — isolates the payload
+            # movement cost of the sort
+            sd = jax.lax.sort(d.astype(jnp.uint16), dimension=0)
+            sorted_ops = (sd,) + pcols
+        else:
+            sorted_ops = jax.lax.sort(
+                (d.astype(jnp.uint16),) + pcols,
+                num_keys=1,
+                is_stable=False,
+                dimension=0,
+            )
+            sd = sorted_ops[0]
         # T[v] = prefix at last index with digit <= v (identity if none) —
         # gathered from local prefixes + per-chain offsets, no full prefix
-        tails = (
-            jnp.searchsorted(sd, jnp.arange(V, dtype=jnp.uint16), side="right")
-            - 1
-        )
+        if "tails" in ab:
+            step = max(1, n // V)
+            tails = jnp.arange(V, dtype=jnp.int32) * step + (step - 1)
+        else:
+            tails = (
+                jnp.searchsorted(
+                    sd, jnp.arange(V, dtype=jnp.uint16), side="right"
+                )
+                - 1
+            )
         safe_idx = jnp.clip(tails, 0, n - 1)
         if fast:
-            # sorted limb planes feed the rank-major scan kernel directly
-            T, flag = _rank_prefix_at(
-                sorted_ops[1:17], sorted_ops[17:33], n, safe_idx,
-                nodbl=not safe,
+            # packed sorted planes feed the row-major scan kernel
+            T, flag = _rank_prefix_at_rows(
+                sorted_ops[1:], n, safe_idx, safe=safe
             )
         else:
             S = jnp.stack(sorted_ops[1:], axis=0)  # [32, n] rank-major
@@ -313,14 +441,17 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
             jnp.where(none_mask, 0, T[2]),
         )
         t_max = tuple(a[:, V - 1 :] for a in T)  # [16, 1] == full sum
-        # sum over T[0..V-2]: zero-pad (identity) to V and chain-reduce
-        Tpad = tuple(
-            jnp.concatenate(
-                [a[:, : V - 1], jnp.zeros((16, 1), dtype=a.dtype)], axis=1
+        if "reduce" in ab:
+            sum_t = t_max
+        else:
+            # sum over T[0..V-2]: zero-pad (identity) to V and chain-reduce
+            Tpad = tuple(
+                jnp.concatenate(
+                    [a[:, : V - 1], jnp.zeros((16, 1), dtype=a.dtype)], axis=1
+                )
+                for a in T
             )
-            for a in T
-        )
-        sum_t = _rank_reduce(Tpad, V)
+            sum_t = _rank_reduce(Tpad, V)
         out = jnp.stack(
             [
                 jnp.concatenate(t_max, 0)[:, 0],

@@ -99,20 +99,24 @@ def ntt_roofline(k: int) -> dict:
     }
 
 
-def msm_roofline(k: int, c: int = 16) -> dict:
-    """Analytic cost of a 2^k-point MSM (chained-scan formulation)."""
+def msm_roofline(k: int, c: int = 16, glv: bool = True) -> dict:
+    """Analytic cost of a 2^k-point MSM (GLV + packed sort + row-major
+    chained-scan formulation, ec/msm_vec.py)."""
     n = 1 << k
-    windows = (256 + c - 1) // c
-    padds = windows * (n + (1 << c))  # local scans + tail handling
-    field_muls = padds * 16  # full Jacobian add ~16 mul/sqr
-    u32_muls = field_muls * 256
-    sort_bytes = windows * n * 8 * 20  # comparator sort passes (approx)
-    gather_bytes = windows * n * 128 * 2
+    npts = 2 * n if glv else n  # GLV doubles the stream, halves windows
+    windows = ((128 if glv else 256) + c - 1) // c
+    # per window: npts doubling-free mixed adds (11 mul/sqr) in the rank
+    # scan + ~2*2^c full adds (16 mul/sqr) for bucket-tail handling/reduce
+    field_muls = windows * (npts * 11 + 2 * (1 << c) * 16)
+    u32_muls = field_muls * 512  # comba 16x16 + redc 16x16 MACs
+    # sort: 17 packed u32 operands, ~log2(npts) data passes (XLA sort);
+    # scan: one read of the packed planes + one write of 24 prefix planes
+    sort_bytes = windows * npts * 17 * 4 * (k + 1)
+    scan_bytes = windows * npts * (16 + 24) * 4 * 2
     return {
-        "padds": padds,
         "field_muls": field_muls,
-        "compute_floor_ms": u32_muls / V5E_U32_MUL_PER_S * 1e3 * 5,
-        "sort_gather_floor_ms": (sort_bytes + gather_bytes)
+        "compute_floor_ms": u32_muls / V5E_U32_MUL_PER_S * 1e3,
+        "sort_gather_floor_ms": (sort_bytes + scan_bytes)
         / V5E_HBM_BYTES_PER_S
         * 1e3,
     }

@@ -56,13 +56,18 @@ def main():
 
     d = np.load(".bench_cache/msm_points_k16.npz")
     px, py = d["px"], d["py"]
+    t0 = time.perf_counter()
+    PX = device_put_chunked(px[: min(n, px.shape[0])])
+    PY = device_put_chunked(py[: min(n, py.shape[0])])
     if n > px.shape[0]:
+        # tile ON DEVICE: uploading 128 MB through the relay can take
+        # tens of minutes on a session's first large transfer
         reps = n // px.shape[0]
-        px, py = np.tile(px, (reps, 1)), np.tile(py, (reps, 1))
-    PX = device_put_chunked(px[:n])
-    PY = device_put_chunked(py[:n])
+        tile = jax.jit(lambda a: jnp.tile(a, (reps, 1)))
+        PX, PY = tile(PX), tile(PY)
     PXY = jnp.concatenate([PX, PY], axis=1)
     fence(PXY)
+    log(f"points ready {time.perf_counter()-t0:.1f}s")
 
     rng = np.random.default_rng(3)
     dcols = [

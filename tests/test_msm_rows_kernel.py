@@ -1,0 +1,81 @@
+"""CPU (Pallas interpret-mode) validation of the row-major packed MSM scan
+kernel (`g1_vec._rank_scan_rows_call`) and its layout helpers.
+
+The kernel is digit-agnostic (it scans whatever rank stream it is given),
+so the test feeds an unsorted stream of real curve points and checks the
+per-chain inclusive prefixes against host bigint ground truth.  A small
+`chunk` keeps the interpret-mode serial loop cheap; the TPU-shape variant
+(chunk = SCAN_CHUNK, 2^20 points) is exercised on-chip by
+scripts/msm_rows_check.py / scripts/tpu_checks.py.
+
+Reference parity: `best_multiexp` bucket accumulation (SURVEY.md 2.2).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from halo2_tpu.ec import g1_vec as gv
+from halo2_tpu.ec import host as ec_host, jax_g1 as g1
+from halo2_tpu.ec import msm_vec as mv
+from halo2_tpu.field.bn254 import FQ_MOD
+from halo2_tpu.field.limbs import mont_limbs_to_int
+
+
+@pytest.fixture
+def interpret_kernel(monkeypatch):
+    monkeypatch.setenv("HALO2_PALLAS_INTERPRET", "1")
+    gv._rank_scan_rows_call.cache_clear()
+    yield
+    gv._rank_scan_rows_call.cache_clear()
+
+
+def _point_stream(n):
+    rng = np.random.default_rng(9)
+    pts = [ec_host.g1_mul(ec_host.G1, int(s)) for s in rng.integers(1, 1 << 30, n)]
+    PX, PY, _ = g1.points_to_device(pts)
+    return pts, jnp.asarray(PX), jnp.asarray(PY)
+
+
+def test_rows_layout_roundtrip():
+    chunk, nblocks = 4, 2
+    n = nblocks * 1024 * chunk
+    x = jnp.arange(n, dtype=jnp.uint32)
+    prep = mv._rows_prep(x, nblocks, chunk).reshape(-1)
+    e = jnp.asarray(np.random.default_rng(0).integers(0, n, 64))
+    assert np.array_equal(np.asarray(prep)[np.asarray(mv._rows_pos(e, chunk))],
+                          np.asarray(e))
+
+
+@pytest.mark.slow  # interpret-mode XLA:CPU compile of the madd body is
+# minutes on a 1-core box; the TPU lowering is validated on-chip by
+# scripts/msm_rows_check.py
+@pytest.mark.parametrize("nodbl", [True, False])
+def test_rank_scan_rows_kernel_matches_host(interpret_kernel, nodbl):
+    chunk, nblocks = 2, 1
+    n = nblocks * 1024 * chunk
+    pts, PX, PY = _point_stream(n)
+    packed = mv._pack_xy(PX, PY)
+    ins = [mv._rows_prep(packed[:, i], nblocks, chunk) for i in range(16)]
+    outs = gv._rank_scan_rows_call(chunk, nblocks, nodbl=nodbl)(*ins)
+    pref = outs[:24]
+    if nodbl:
+        assert int(jnp.max(outs[24])) == 0
+
+    # host ground truth at a sample of ranks (inclusive per-chain prefix)
+    rng = np.random.default_rng(1)
+    sample = sorted(int(e) for e in rng.integers(0, n, 24))
+    T = mv._unpack_gather(pref, mv._rows_pos(jnp.asarray(sample), chunk))
+    X, Y, Z = (np.asarray(a) for a in T)
+    for col, e in enumerate(sample):
+        chain, r = divmod(e, chunk)
+        acc = None
+        for rr in range(r + 1):
+            acc = ec_host.g1_add(acc, pts[chain * chunk + rr])
+        got = ec_host.g1_jacobian_to_affine(
+            mont_limbs_to_int(X[:, col], FQ_MOD),
+            mont_limbs_to_int(Y[:, col], FQ_MOD),
+            mont_limbs_to_int(Z[:, col], FQ_MOD),
+        )
+        assert got == acc, f"rank {e}"
