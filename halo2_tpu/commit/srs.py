@@ -276,8 +276,11 @@ class ParamsKZG:
             return []
         raws = mont.from_mont(FR, values_batch)
         if use_vec_msm(PX.shape[0]):
-            # production TPU pipeline folds per MSM on host (tiny readbacks)
-            return [msm_vec(PX, PY, raws[i]) for i in range(m)]
+            # production TPU pipeline: all partials dispatched async, then
+            # per-MSM host folds on tiny readbacks
+            from ..ec.msm_vec import msm_vec_batch
+
+            return msm_vec_batch(PX, PY, [raws[i] for i in range(m)])
         pts = [msm_mod.msm_device(PX, PY, raws[i]) for i in range(m)]
         X = jnp.stack([p[0] for p in pts])
         Y = jnp.stack([p[1] for p in pts])

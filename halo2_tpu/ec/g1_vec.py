@@ -633,7 +633,9 @@ def _rank_scan_rows_call(chunk: int, nblocks: int, nodbl: bool = False):
     instead of the previous kernel's per-block VMEM transposes + per-step
     sublane stacking — the reason the old scan ran ~10x off its ALU floor).
 
-    Output: 24 packed planes (X, Y, Z accumulator limbs, same layout);
+    Output: ONE fused array [24, nblocks, chunk*8, 128] of packed prefix
+    planes (X, Y, Z accumulator limbs, same inner layout) — fused so the
+    bucket-tail reads downstream are a single gather over its flat view;
     nodbl appends a flag plane [nblocks, 8, 128] (nonzero where an acc == q
     collision invalidated the doubling-free body).
     """
@@ -642,8 +644,8 @@ def _rank_scan_rows_call(chunk: int, nblocks: int, nodbl: bool = False):
 
     def kernel(*refs):
         ins = refs[:16]
-        outs = refs[16:40]
-        flag_ref = refs[40] if nodbl else None
+        out = refs[16]
+        flag_ref = refs[17] if nodbl else None
 
         def read(r):
             off = pl.multiple_of(r * 8, 8)
@@ -657,7 +659,7 @@ def _rank_scan_rows_call(chunk: int, nblocks: int, nodbl: bool = False):
             off = pl.multiple_of(r * 8, 8)
             for ci in range(3):
                 for j in range(8):
-                    outs[ci * 8 + j][0, pl.ds(off, 8), :] = coords[ci][
+                    out[ci * 8 + j, 0, pl.ds(off, 8), :] = coords[ci][
                         2 * j
                     ] | (coords[ci][2 * j + 1] << 16)
 
@@ -691,9 +693,16 @@ def _rank_scan_rows_call(chunk: int, nblocks: int, nodbl: bool = False):
     bs = pl.BlockSpec(
         (1, chunk * 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
     )
-    shape = jax.ShapeDtypeStruct((nblocks, chunk * 8, 128), jnp.uint32)
-    out_shapes = (shape,) * 24
-    out_specs = (bs,) * 24
+    # all 24 prefix planes in ONE output array so bucket-tail gathers can
+    # run as a single gather op over its flat view
+    out_bs = pl.BlockSpec(
+        (24, 1, chunk * 8, 128), lambda j: (0, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((24, nblocks, chunk * 8, 128), jnp.uint32),
+    )
+    out_specs = (out_bs,)
     if nodbl:
         flag_bs = pl.BlockSpec(
             (1, 8, 128), lambda j: (j, 0, 0), memory_space=pltpu.VMEM

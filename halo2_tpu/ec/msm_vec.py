@@ -224,18 +224,55 @@ def _rows_pos(e, chunk: int):
     return ((b * chunk + r) * 8 + s) * 128 + l
 
 
-def _unpack_gather(planes, pos):
-    """Gather packed planes at flat positions and unpack to coordinate limb
-    stacks: planes = 24 packed [nblocks, chunk*8, 128]; returns (X, Y, Z)
-    each [16, K]."""
+def _unpack_gather(pref, pos):
+    """Gather the fused prefix array at flat positions and unpack to
+    coordinate limb stacks: pref [24, nblocks, chunk*8, 128] (one array —
+    the scan kernel writes all 24 packed planes into a single output so
+    this is ONE gather op; 24 separate jnp.take calls measured ~12 ms per
+    window at V=2^16, XLA gather cost being dominated by per-op overhead).
+    Returns (X, Y, Z) each [16, K]."""
+    K = pos.shape[0]
+    N = pref.shape[1] * pref.shape[2] * pref.shape[3]
+    idx = (
+        jnp.arange(24, dtype=pos.dtype)[:, None] * N + pos[None, :]
+    ).reshape(-1)
+    v = jnp.take(pref.reshape(-1), idx).reshape(24, K)
     coords = []
     for ci in range(3):
         limbs = []
         for j in range(8):
-            v = jnp.take(planes[ci * 8 + j].reshape(-1), pos)
-            limbs += [v & 0xFFFF, v >> 16]
+            limbs += [v[ci * 8 + j] & 0xFFFF, v[ci * 8 + j] >> 16]
         coords.append(jnp.stack(limbs))
     return tuple(coords)
+
+
+def _digit_tails(d, c: int, n: int):
+    """tails[v] = (count of digits <= v) - 1, i.e. the rank of the last
+    sorted element of bucket v: a digit HISTOGRAM + cumulative sum, run as
+    one-hot int8 matmuls on the MXU (hist[hi, lo] = onehot_hi^T @ onehot_lo
+    over row chunks).  Replaces jnp.searchsorted over the sorted keys,
+    which lowered to a gather-heavy binary search measured at ~11 ms per
+    window at n=2^21, V=2^16 — the histogram needs no sorted input at all.
+
+    d: [n] int32 window digits.  Returns int32 [V] (-1 where empty prefix).
+    """
+    clo = min(c, 8)
+    chi = c - clo
+    CH, CL = 1 << chi, 1 << clo
+    lo = (d & (CL - 1)).astype(jnp.int32)
+    hi = (d >> clo).astype(jnp.int32)
+    ar_h = jnp.arange(CH, dtype=jnp.int32)
+    ar_l = jnp.arange(CL, dtype=jnp.int32)
+    m = min(n, 1 << 17)  # chunk rows: one-hot operands stay ~32 MB
+    hist = jnp.zeros((CH, CL), jnp.int32)
+    for s in range(0, n, m):
+        oh = (hi[s : s + m, None] == ar_h[None, :]).astype(jnp.int8)
+        ol = (lo[s : s + m, None] == ar_l[None, :]).astype(jnp.int8)
+        hist = hist + jax.lax.dot_general(
+            oh, ol, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return jnp.cumsum(hist.reshape(CH * CL)) - 1
 
 
 def _ablate() -> set:
@@ -261,18 +298,18 @@ def _rank_prefix_at_rows(sorted_packed, n: int, idx, safe: bool):
     nblocks = chains // 1024
     ins = [_rows_prep(p, nblocks, CHUNK) for p in sorted_packed]
     if "scan" in ab:
-        pref = tuple(ins) + tuple(ins[:8])
+        pref = jnp.stack(list(ins) + list(ins[:8]))
         flag = jnp.uint32(0)
     else:
         outs = gv._rank_scan_rows_call(CHUNK, nblocks, nodbl=not safe)(*ins)
-        pref = outs[:24]
-        flag = jnp.max(outs[24]) if not safe else jnp.uint32(0)
+        pref = outs[0]  # fused [24, nblocks, chunk*8, 128]
+        flag = jnp.max(outs[1]) if not safe else jnp.uint32(0)
     # chain totals (rank CHUNK-1 of every chain) -> exclusive offsets
     tot = []
     for ci in range(3):
         limbs = []
         for j in range(8):
-            v = pref[ci * 8 + j][:, (CHUNK - 1) * 8 :, :].reshape(chains)
+            v = pref[ci * 8 + j, :, (CHUNK - 1) * 8 :, :].reshape(chains)
             limbs += [v & 0xFFFF, v >> 16]
         tot.append(jnp.stack(limbs))
     if "offsets" in ab:
@@ -294,14 +331,16 @@ def _rank_prefix_at_rows(sorted_packed, n: int, idx, safe: bool):
                 v = pref[ci * 8 + j].reshape(-1)[:K]  # slice, not gather
                 limbs += [v & 0xFFFF, v >> 16]
             local.append(jnp.stack(limbs))
-        local = tuple(local)
+        local = tuple(local)  # noqa: shapes match the gather path
         off_at = tuple(a[:, : min(K, a.shape[1])] for a in offs)
         off_at = tuple(
             jnp.pad(a, ((0, 0), (0, K - a.shape[1]))) for a in off_at
         )
     else:
         local = _unpack_gather(pref, _rows_pos(idx, CHUNK))
-        off_at = tuple(jnp.take(a, idx // CHUNK, axis=1) for a in offs)
+        offs_cat = jnp.concatenate(offs, axis=0)  # [48, chains]: 1 gather op
+        oa = jnp.take(offs_cat, idx // CHUNK, axis=1)
+        off_at = (oa[:16], oa[16:32], oa[32:])
     return _vpadd_flat(local, off_at, idx.shape[0]), flag
 
 
@@ -416,6 +455,8 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
         if "tails" in ab:
             step = max(1, n // V)
             tails = jnp.arange(V, dtype=jnp.int32) * step + (step - 1)
+        elif fast:
+            tails = _digit_tails(d, c, n)  # MXU histogram, sort-free
         else:
             tails = (
                 jnp.searchsorted(
@@ -551,6 +592,29 @@ def _fold_partials(parts, c: int):
         )
         acc = ec_host.g1_add(acc, wsum)
     return acc
+
+
+def msm_vec_batch(PX, PY, raw_list, c: int | None = None,
+                  glv: bool | None = None) -> list:
+    """m MSMs over the same points: ALL window-partials programs are
+    dispatched before the first (tiny) readback, so the device pipelines
+    the m kernels back-to-back — one relay round trip total instead of one
+    per commitment (the prover's per-phase commitment batches)."""
+    n = PX.shape[0]
+    if c is None:
+        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+    if glv is None:
+        glv = n >= (1 << 15)
+    fn = _msm_window_partials_glv if glv else _msm_window_partials
+    outs = [fn(PX, PY, s, c) for s in raw_list]  # async dispatch, no block
+    results = []
+    for parts, flags in outs:
+        parts_np = np.asarray(parts)
+        if np.asarray(flags).any():
+            parts_np = np.asarray(fn(PX, PY, raw_list[len(results)], c,
+                                     safe=True)[0])
+        results.append(_fold_partials(parts_np, c))
+    return results
 
 
 def msm_vec_host(points, scalars, c: int | None = None):

@@ -48,6 +48,18 @@ def test_rows_layout_roundtrip():
                           np.asarray(e))
 
 
+@pytest.mark.parametrize("c", [8, 13, 16])
+def test_digit_tails_matches_searchsorted(c):
+    n, V = 1 << 12, 1 << c
+    d = jnp.asarray(
+        np.random.default_rng(3).integers(0, V, n).astype(np.int32)
+    )
+    got = np.asarray(mv._digit_tails(d, c, n))
+    sd = np.sort(np.asarray(d)).astype(np.uint16)
+    want = np.searchsorted(sd, np.arange(V), side="right") - 1
+    assert np.array_equal(got, want)
+
+
 @pytest.mark.slow  # interpret-mode XLA:CPU compile of the madd body is
 # minutes on a 1-core box; the TPU lowering is validated on-chip by
 # scripts/msm_rows_check.py
