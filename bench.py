@@ -50,6 +50,11 @@ def remaining_s() -> float:
 
 _detail = {
     "baseline_cpu_ms_assumed": {"ntt": BASELINE_NTT_MS, "msm": BASELINE_MSM_MS},
+    # methodology (round-3 advisor ask): reps are dispatched back-to-back and
+    # fenced once, so per-dispatch relay latency amortizes exactly as the
+    # prover's batched commitment MSMs do; NOT comparable to r01/r02's
+    # min-of-individually-fenced-reps numbers.
+    "timing": "chained_avg",
 }
 
 

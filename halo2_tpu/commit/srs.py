@@ -267,49 +267,68 @@ class ParamsKZG:
     # is the prover's dominant dispatch cost at small k).
 
     def _msm_affine_batch(self, PX, PY, values_batch) -> list:
-        from ..ec.msm_vec import msm_vec, use_vec_msm
+        return self._msm_affine_batch_async(PX, PY, values_batch)()
+
+    def commit_lagrange_affine_batch(self, values_batch) -> list:
+        """[m, n, 16] evaluation-basis polys -> m host affine points."""
+        return self.commit_lagrange_affine_batch_async(values_batch)()
+
+    def commit_affine_batch(self, coeffs_batch) -> list:
+        """[m, q, 16] coefficient polys (q <= n) -> m host affine points."""
+        return self.commit_affine_batch_async(coeffs_batch)()
+
+    # async variants: dispatch every commitment program NOW, return a
+    # zero-arg resolver for the host points.  The prover dispatches the next
+    # phase's NTTs between dispatch and resolve so MSM execution + partial
+    # readbacks + host folds overlap device work (SURVEY.md 2.3 "host
+    # pipeline" row).
+
+    def commit_lagrange_affine_batch_async(self, values_batch):
+        assert values_batch.ndim == 3 and values_batch.shape[1] == self.n
+        return self._msm_affine_batch_async(self.gl_x, self.gl_y, values_batch)
+
+    def commit_affine_batch_async(self, coeffs_batch):
+        assert coeffs_batch.ndim == 3
+        q = coeffs_batch.shape[1]
+        return self._msm_affine_batch_async(
+            self.g_x[:q], self.g_y[:q], coeffs_batch
+        )
+
+    def _msm_affine_batch_async(self, PX, PY, values_batch):
+        from ..ec.msm_vec import msm_vec_batch_async, use_vec_msm
         from ..field.bn254 import FQ_MOD
         from ..field.limbs import mont_limbs_to_int
 
         m = values_batch.shape[0]
         if m == 0:
-            return []
+            return lambda: []
         raws = mont.from_mont(FR, values_batch)
         if use_vec_msm(PX.shape[0]):
-            # production TPU pipeline: all partials dispatched async, then
-            # per-MSM host folds on tiny readbacks
-            from ..ec.msm_vec import msm_vec_batch
-
-            return msm_vec_batch(PX, PY, [raws[i] for i in range(m)])
+            return msm_vec_batch_async(PX, PY, [raws[i] for i in range(m)])
+        # portable path: all device programs dispatch asynchronously here;
+        # only the resolver's np.asarray readbacks block
         pts = [msm_mod.msm_device(PX, PY, raws[i]) for i in range(m)]
         X = jnp.stack([p[0] for p in pts])
         Y = jnp.stack([p[1] for p in pts])
         Z = jnp.stack([p[2] for p in pts])
         ax, ay, inf = g1.to_affine_batch((X, Y, Z))
-        axn, ayn, infn = np.asarray(ax), np.asarray(ay), np.asarray(inf)
-        out = []
-        for i in range(m):
-            if bool(infn[i]):
-                out.append(None)
-            else:
-                out.append(
-                    (
-                        mont_limbs_to_int(axn[i], FQ_MOD),
-                        mont_limbs_to_int(ayn[i], FQ_MOD),
+
+        def resolve() -> list:
+            axn, ayn, infn = np.asarray(ax), np.asarray(ay), np.asarray(inf)
+            out = []
+            for i in range(m):
+                if bool(infn[i]):
+                    out.append(None)
+                else:
+                    out.append(
+                        (
+                            mont_limbs_to_int(axn[i], FQ_MOD),
+                            mont_limbs_to_int(ayn[i], FQ_MOD),
+                        )
                     )
-                )
-        return out
+            return out
 
-    def commit_lagrange_affine_batch(self, values_batch) -> list:
-        """[m, n, 16] evaluation-basis polys -> m host affine points."""
-        assert values_batch.ndim == 3 and values_batch.shape[1] == self.n
-        return self._msm_affine_batch(self.gl_x, self.gl_y, values_batch)
-
-    def commit_affine_batch(self, coeffs_batch) -> list:
-        """[m, q, 16] coefficient polys (q <= n) -> m host affine points."""
-        assert coeffs_batch.ndim == 3
-        q = coeffs_batch.shape[1]
-        return self._msm_affine_batch(self.g_x[:q], self.g_y[:q], coeffs_batch)
+        return resolve
 
     # ---- serialization ------------------------------------------------------------
 

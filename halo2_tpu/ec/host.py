@@ -16,14 +16,18 @@ from ..field.bn254 import FR_MOD as R
 from ..field.bn254 import G1_GEN, G2_GEN_X, G2_GEN_Y
 
 # native C++ acceleration for the hot G1 paths (scalar mul, small MSMs);
-# pure-Python below stays the ground truth and the fallback
-try:
-    from .. import native as _native
+# pure-Python below stays the ground truth and the fallback.  Availability is
+# checked lazily per call (native.lib() memoizes the load and honors
+# HALO2_TPU_NO_NATIVE at call time, so tests can toggle it after import).
 
-    if _native.lib() is None:
-        _native = None
-except Exception:  # pragma: no cover - loader failures degrade to Python
-    _native = None
+
+def _nat():
+    try:
+        from .. import native
+
+        return native if native.lib() is not None else None
+    except Exception:  # pragma: no cover - loader failures degrade to Python
+        return None
 
 # ---------------------------------------------------------------------------
 # Fq2 = Fq[u] / (u^2 + 1), elements as (c0, c1)
@@ -166,6 +170,7 @@ def g1_double(P):
 
 
 def g1_mul(P, k: int):
+    _native = _nat()
     if _native is not None:
         return _native.jac_to_affine(_native.g1_mul_jac(P, k % R))
     return _pt_mul(P, k, _FQ_OPS)
@@ -184,6 +189,7 @@ def g1_is_on_curve(P) -> bool:
 
 def g1_msm_host(points, scalars):
     """Tiny reference MSM (for tests / ground truth only)."""
+    _native = _nat()
     if _native is not None:
         return _native.g1_msm(list(points), [s % R for s in scalars])
     acc = None

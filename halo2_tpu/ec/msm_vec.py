@@ -275,6 +275,73 @@ def _digit_tails(d, c: int, n: int):
     return jnp.cumsum(hist.reshape(CH * CL)) - 1
 
 
+HIST_CHUNK = 8192  # digits per histogram grid step (one-hots stay ~4 MB VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _hist_kernel_call(n_windows: int, nchunks: int, m: int, interpret: bool):
+    """Fused digit histogram: [n_windows, nchunks, m] int32 digits ->
+    [n_windows, 256, 256] int32 counts (hist[w, hi, lo] = #{d == hi*256+lo}).
+
+    One-hot operands are built IN VMEM and contracted on the MXU (bf16 with
+    f32 accumulation — exact: products are 0/1 and per-chunk counts are
+    < 2^24), so the only HBM traffic is the digit read.  Replaces the jnp
+    one-hot matmul (_digit_tails), which materialized ~1 GB of one-hot
+    operands per window through HBM — measured 10.6 ms/window at n=2^21 vs
+    ~1.3 ms for this kernel."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(d_ref, o_ref, acc):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        d = d_ref[0, 0, :].reshape(m, 1)  # int32 digits
+        ar = jax.lax.broadcasted_iota(jnp.int32, (m, 256), 1)
+        oh = (jax.lax.div(d, 256) == ar).astype(jnp.bfloat16)
+        ol = ((d & 255) == ar).astype(jnp.bfloat16)
+        acc[...] += jax.lax.dot_general(
+            oh, ol, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(ci == nchunks - 1)
+        def _():
+            o_ref[0] = acc[...].astype(jnp.int32)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_windows, 256, 256), jnp.int32),
+        grid=(n_windows, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, m), lambda w, i: (w, i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, 256, 256), lambda w, i: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((256, 256), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _digit_tails_all(digits_all, c: int, n: int):
+    """tails[w, v] = (count of window-w digits <= v) - 1 for ALL windows in
+    one fused histogram kernel + a cumsum.  digits_all: [n_windows, n] int32
+    (values < 2^c <= 2^16).  Returns int32 [n_windows, 2^c]."""
+    n_windows = digits_all.shape[0]
+    m = min(HIST_CHUNK, n)
+    assert n % m == 0
+    nchunks = n // m
+    hist = _hist_kernel_call(n_windows, nchunks, m, fv._interpret())(
+        digits_all.reshape(n_windows, nchunks, m)
+    )
+    tails = jnp.cumsum(hist.reshape(n_windows, 65536), axis=1) - 1
+    return tails[:, : (1 << c)]
+
+
 def _ablate() -> set:
     """TIMING DIAGNOSTICS ONLY: comma list in HALO2_MSM_TIMING_ABLATE of
     pipeline pieces to stub out (results become WRONG; shapes/costs of the
@@ -287,6 +354,21 @@ def _ablate() -> set:
     return set(
         filter(None, os.environ.get("HALO2_MSM_TIMING_ABLATE", "").split(","))
     )
+
+
+def _guard_ablation():
+    """The ablation set is read at TRACE time and is not part of any jit
+    cache key, so a stray HALO2_MSM_TIMING_ABLATE would silently bake a
+    wrong-result program into the cache.  Production entry points refuse to
+    run while it is set (profiling scripts call the partials directly)."""
+    ab = _ablate()
+    if ab:
+        raise RuntimeError(
+            "HALO2_MSM_TIMING_ABLATE is set (%s): results would be wrong and "
+            "the ablated program would poison the in-process jit cache; unset "
+            "it (and restart the process if partials were already traced) "
+            "before calling msm_vec/msm_vec_batch" % sorted(ab)
+        )
 
 
 def _rank_prefix_at_rows(sorted_packed, n: int, idx, safe: bool):
@@ -337,10 +419,27 @@ def _rank_prefix_at_rows(sorted_packed, n: int, idx, safe: bool):
             jnp.pad(a, ((0, 0), (0, K - a.shape[1]))) for a in off_at
         )
     else:
-        local = _unpack_gather(pref, _rows_pos(idx, CHUNK))
-        offs_cat = jnp.concatenate(offs, axis=0)  # [48, chains]: 1 gather op
-        oa = jnp.take(offs_cat, idx // CHUNK, axis=1)
-        off_at = (oa[:16], oa[16:32], oa[32:])
+        # embedding-style ROW gathers: transpose plane-major arrays to
+        # row-major with the Mosaic transpose unit, then take CONTIGUOUS
+        # 96/192-byte rows — XLA's gather costs per ROW, not per element
+        # (the flat 24*K-scalar take this replaces measured 11.8 ms/window
+        # at K=2^16; rows land at gather-overhead ~0.5 ms)
+        K = idx.shape[0]
+        prefT = fv.transpose_to_rows_u32(pref.reshape(24, n))  # [n, 24]
+        loc_rows = jnp.take(prefT, _rows_pos(idx, CHUNK), axis=0)  # [K, 24]
+        loc_t = fv.transpose_u32(loc_rows)  # [24, K]
+        local = []
+        for ci in range(3):
+            limbs = []
+            for j in range(8):
+                v = loc_t[ci * 8 + j]
+                limbs += [v & 0xFFFF, v >> 16]
+            local.append(jnp.stack(limbs))
+        local = tuple(local)
+        offsT = fv.transpose_to_rows_u32(jnp.concatenate(offs, axis=0))
+        off_rows = jnp.take(offsT, idx // CHUNK, axis=0)  # [K, 48]
+        off_t = fv.transpose_u32(off_rows)  # [48, K]
+        off_at = (off_t[:16], off_t[16:32], off_t[32:])
     return _vpadd_flat(local, off_at, idx.shape[0]), flag
 
 
@@ -434,7 +533,16 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
 
     ab = _ablate()
 
-    def one_window(carry, d):
+    # all windows' bucket tails from ONE fused histogram kernel (MXU one-hot
+    # contraction in VMEM) — outside the window scan, ~8x cheaper than the
+    # per-window jnp one-hot matmul it replaces
+    if fast and "tails" not in ab:
+        tails_all = _digit_tails_all(digits_all, c, n)
+    else:
+        tails_all = jnp.zeros((digits_all.shape[0], V), jnp.int32)
+
+    def one_window(carry, scanned):
+        d, tails_in = scanned
         # bucket grouping only needs GROUPED order, not a stable sort
         if "sort" in ab and fast:
             # TIMING DIAGNOSTIC ONLY (wrong results): keys-only sort, the
@@ -456,7 +564,7 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
             step = max(1, n // V)
             tails = jnp.arange(V, dtype=jnp.int32) * step + (step - 1)
         elif fast:
-            tails = _digit_tails(d, c, n)  # MXU histogram, sort-free
+            tails = tails_in  # fused-histogram kernel output, sort-free
         else:
             tails = (
                 jnp.searchsorted(
@@ -502,7 +610,7 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
         )  # [2, 48]
         return carry, (out, flag)
 
-    _, (outs, flags) = jax.lax.scan(one_window, 0, digits_all)
+    _, (outs, flags) = jax.lax.scan(one_window, 0, (digits_all, tails_all))
     return outs, flags  # [n_windows, 2, 48], [n_windows]
 
 
@@ -536,6 +644,7 @@ def msm_vec(PX, PY, scalars, c: int | None = None, glv: bool | None = None):
     glv=None enables the endomorphism split automatically at sizes where
     the halved window count pays (the split itself is a few wide limb
     multiplies per scalar, fused by XLA)."""
+    _guard_ablation()
     n = PX.shape[0]
     if c is None:
         c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
@@ -594,27 +703,43 @@ def _fold_partials(parts, c: int):
     return acc
 
 
-def msm_vec_batch(PX, PY, raw_list, c: int | None = None,
-                  glv: bool | None = None) -> list:
-    """m MSMs over the same points: ALL window-partials programs are
-    dispatched before the first (tiny) readback, so the device pipelines
-    the m kernels back-to-back — one relay round trip total instead of one
-    per commitment (the prover's per-phase commitment batches)."""
+def msm_vec_batch_async(PX, PY, raw_list, c: int | None = None,
+                        glv: bool | None = None):
+    """Dispatch m MSMs over the same points WITHOUT blocking; returns a
+    zero-arg resolver producing the m host affine points.  Device work
+    dispatched between the two calls (e.g. the prover's basis-conversion
+    NTTs) executes while the window partials run and the host folds read
+    back — the host-pipeline overlap of SURVEY.md §2.3."""
+    _guard_ablation()
     n = PX.shape[0]
     if c is None:
         c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
     if glv is None:
         glv = n >= (1 << 15)
     fn = _msm_window_partials_glv if glv else _msm_window_partials
-    outs = [fn(PX, PY, s, c) for s in raw_list]  # async dispatch, no block
-    results = []
-    for parts, flags in outs:
-        parts_np = np.asarray(parts)
-        if np.asarray(flags).any():
-            parts_np = np.asarray(fn(PX, PY, raw_list[len(results)], c,
-                                     safe=True)[0])
-        results.append(_fold_partials(parts_np, c))
-    return results
+    cc = c
+    outs = [fn(PX, PY, s, cc) for s in raw_list]  # async dispatch, no block
+
+    def resolve() -> list:
+        results = []
+        for i, (parts, flags) in enumerate(outs):
+            parts_np = np.asarray(parts)
+            if np.asarray(flags).any():
+                parts_np = np.asarray(fn(PX, PY, raw_list[i], cc,
+                                         safe=True)[0])
+            results.append(_fold_partials(parts_np, cc))
+        return results
+
+    return resolve
+
+
+def msm_vec_batch(PX, PY, raw_list, c: int | None = None,
+                  glv: bool | None = None) -> list:
+    """m MSMs over the same points: ALL window-partials programs are
+    dispatched before the first (tiny) readback, so the device pipelines
+    the m kernels back-to-back — one relay round trip total instead of one
+    per commitment (the prover's per-phase commitment batches)."""
+    return msm_vec_batch_async(PX, PY, raw_list, c, glv)()
 
 
 def msm_vec_host(points, scalars, c: int | None = None):

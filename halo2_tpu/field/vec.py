@@ -411,3 +411,32 @@ def transpose_u32(x):
     if _interpret() or n % 2048 or cols % 8:
         return jnp.transpose(x, (1, 0))
     return _transpose_call(n, cols)(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _transpose_to_rows_call(cols: int, n: int, block: int = 2048):
+    def kernel(x_ref, o_ref):
+        o_ref[...] = jnp.transpose(x_ref[...], (1, 0))
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, cols), jnp.uint32),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((cols, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def transpose_to_rows_u32(x):
+    """[cols, n] u32 -> [n, cols] (plane-major to row-major) via the Mosaic
+    transpose unit.  This is the layout prep for embedding-style row
+    gathers: jnp.take(rows, idx, axis=0) pulls CONTIGUOUS cols*4-byte rows,
+    which XLA's gather handles at per-row (not per-element) cost."""
+    cols, n = x.shape
+    if _interpret() or n % 2048 or cols % 8:
+        return jnp.transpose(x, (1, 0))
+    return _transpose_to_rows_call(cols, n)(x)

@@ -25,33 +25,52 @@ _ABI = 1
 
 AVAILABLE = False
 _lib = None
+_failed = False  # build/load failed once — don't respawn g++ per call
 _lock = threading.Lock()
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # compile to a temp path and os.rename into place: the build is atomic,
+    # so a concurrent process can never CDLL a half-written _g1.so
+    tmp = f"{_SO}.build.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=300)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        os.rename(tmp, _SO)
+        return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def _load():
-    global _lib, AVAILABLE
+    global _lib, AVAILABLE, _failed
+    if os.environ.get("HALO2_TPU_NO_NATIVE"):
+        # honored per call (tests monkeypatch it after import)
+        return None
     with _lock:
         if _lib is not None:
             return _lib
-        if os.environ.get("HALO2_TPU_NO_NATIVE"):
+        if _failed:
             return None
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             if not _build():
+                _failed = True
                 return None
         try:
             lib = ctypes.CDLL(_SO)
             if lib.h2n_abi_version() != _ABI:
+                _failed = True
                 return None
         except Exception:
+            _failed = True
             return None
         lib.h2n_g1_add.argtypes = [ctypes.c_char_p] * 2 + [ctypes.c_char_p]
         lib.h2n_g1_dbl.argtypes = [ctypes.c_char_p, ctypes.c_char_p]

@@ -57,6 +57,16 @@ class DeterministicRng:
         return out
 
 
+def _commit_lagrange_async(params, batch):
+    """Async batched commit when params supports it (ParamsKZG); sharded /
+    wrapped params fall back to an immediate resolve."""
+    fn = getattr(params, "commit_lagrange_affine_batch_async", None)
+    if fn is not None:
+        return fn(batch)
+    out = params.commit_lagrange_affine_batch(batch)
+    return lambda: out
+
+
 def _to_device_columns(cols, n):
     if not cols:
         return jnp.zeros((0, n, 16), dtype=jnp.uint32)
@@ -121,10 +131,14 @@ def create_proof(
             bi += 1
         advice_cols.append(vals)
     advice_lagrange = _to_device_columns(advice_cols, n)
-    for com in params.commit_lagrange_affine_batch(advice_lagrange):
-        transcript.write_point(com)
+    # dispatch the commitment MSMs, queue the basis-conversion NTTs behind
+    # them, then resolve: the NTTs run while the host waits on / folds the
+    # MSM partials (SURVEY.md 2.3 host-pipeline overlap)
+    resolve_advice = _commit_lagrange_async(params, advice_lagrange)
     advice_coeff = dom.lagrange_to_coeff(advice_lagrange)
     advice_ext = dom.coeff_to_extended(advice_coeff)
+    for com in resolve_advice():
+        transcript.write_point(com)
     timer.mark("prove.advice")
 
     # ---- theta; lookup permuted columns -----------------------------------------------
@@ -175,6 +189,7 @@ def create_proof(
         perm_cols, advice_lagrange, pk.fixed_lagrange, instance_lagrange, n
     )
     zs = []
+    resolve_zs = lambda: []  # noqa: E731
     if perm_cols:
         chunk_len = cs.permutation_chunk_len()
         zs = z_polys(perm_values, pk.sigma_lagrange, beta, gamma, chunk_len, k, u)
@@ -185,8 +200,16 @@ def create_proof(
             z = z.at[n - bf :, :].set(jnp.asarray(rand))
             blinded.append(z)
         zs = blinded
-        for com in params.commit_lagrange_affine_batch(jnp.stack(zs)):
-            transcript.write_point(com)
+        resolve_zs = _commit_lagrange_async(params, jnp.stack(zs))
+    # dispatch the z/permutation NTT chains now — they depend only on zs,
+    # so they execute while the z commitment partials compute (their
+    # transcript writes happen below, in the unchanged protocol order)
+    z_coeffs = [dom.lagrange_to_coeff(z) for z in zs]
+    z_exts = [dom.coeff_to_extended(zc) for zc in z_coeffs]
+    perm_value_coeff = dom.lagrange_to_coeff(perm_values) if perm_cols else perm_values
+    perm_value_ext = dom.coeff_to_extended(perm_value_coeff) if perm_cols else perm_values
+    for com in resolve_zs():
+        transcript.write_point(com)
 
     # ---- lookup grand products ---------------------------------------------------------
     for ld in lookups_data:
@@ -209,11 +232,6 @@ def create_proof(
     random_poly = jnp.asarray(ints_to_mont_limbs(random_coeffs, FR_MOD))
     transcript.write_point(params.commit_affine(random_poly))
     y = transcript.squeeze_challenge()
-
-    z_coeffs = [dom.lagrange_to_coeff(z) for z in zs]
-    z_exts = [dom.coeff_to_extended(zc) for zc in z_coeffs]
-    perm_value_coeff = dom.lagrange_to_coeff(perm_values) if perm_cols else perm_values
-    perm_value_ext = dom.coeff_to_extended(perm_value_coeff) if perm_cols else perm_values
 
     lookup_exts = []
     for ld in lookups_data:

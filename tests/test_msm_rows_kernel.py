@@ -71,9 +71,9 @@ def test_rank_scan_rows_kernel_matches_host(interpret_kernel, nodbl):
     packed = mv._pack_xy(PX, PY)
     ins = [mv._rows_prep(packed[:, i], nblocks, chunk) for i in range(16)]
     outs = gv._rank_scan_rows_call(chunk, nblocks, nodbl=nodbl)(*ins)
-    pref = outs[:24]
+    pref = outs[0]  # fused [24, nblocks, chunk*8, 128] prefix planes
     if nodbl:
-        assert int(jnp.max(outs[24])) == 0
+        assert int(jnp.max(outs[1])) == 0
 
     # host ground truth at a sample of ranks (inclusive per-chain prefix)
     rng = np.random.default_rng(1)
@@ -91,3 +91,51 @@ def test_rank_scan_rows_kernel_matches_host(interpret_kernel, nodbl):
             mont_limbs_to_int(Z[:, col], FQ_MOD),
         )
         assert got == acc, f"rank {e}"
+
+
+@pytest.mark.parametrize("c", [8, 13, 16])
+def test_digit_tails_all_matches_reference(c):
+    """The fused-histogram kernel (interpret mode) == the jnp one-hot
+    reference == numpy searchsorted, for all windows at once."""
+    n, V = 1 << 14, 1 << c
+    rng = np.random.default_rng(5)
+    digits_all = jnp.asarray(
+        rng.integers(0, V, (3, n)).astype(np.int32)
+    )
+    got = np.asarray(mv._digit_tails_all(digits_all, c, n))
+    assert got.shape == (3, V)
+    for w in range(3):
+        sd = np.sort(np.asarray(digits_all[w])).astype(np.uint32)
+        want = np.searchsorted(sd, np.arange(V), side="right") - 1
+        assert np.array_equal(got[w], want), f"window {w}"
+
+
+def test_row_gather_path_matches_flat_gather():
+    """The transpose + row-take prefix extraction equals the flat scalar
+    take it replaced (pure layout math over random packed planes)."""
+    from halo2_tpu.field import vec as fv
+
+    chunk, nblocks = 4, 2
+    n = nblocks * 1024 * chunk
+    K = 64
+    rng = np.random.default_rng(11)
+    pref = jnp.asarray(
+        rng.integers(0, 1 << 32, (24, nblocks, chunk * 8, 128), dtype=np.uint64
+                     ).astype(np.uint32)
+    )
+    idx = jnp.asarray(np.sort(rng.integers(0, n, K)).astype(np.int32))
+    want = tuple(np.asarray(a) for a in
+                 mv._unpack_gather(pref, mv._rows_pos(idx, chunk)))
+
+    prefT = fv.transpose_to_rows_u32(pref.reshape(24, n))
+    loc_rows = jnp.take(prefT, mv._rows_pos(idx, chunk), axis=0)
+    loc_t = fv.transpose_u32(loc_rows)
+    got = []
+    for ci in range(3):
+        limbs = []
+        for j in range(8):
+            v = loc_t[ci * 8 + j]
+            limbs += [v & 0xFFFF, v >> 16]
+        got.append(np.asarray(jnp.stack(limbs)))
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
