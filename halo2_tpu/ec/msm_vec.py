@@ -292,37 +292,41 @@ def _hist_kernel_call(n_windows: int, nchunks: int, m: int, interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # input layout (nchunks, n_windows, m): the block covers the last two
+    # dims whole (TPU tiling rule), and the one-hots are built LANE-MAJOR
+    # ([256, m], digits broadcast along sublanes) so no in-kernel relayout
     def kernel(d_ref, o_ref, acc):
-        ci = pl.program_id(1)
+        ci = pl.program_id(0)
 
         @pl.when(ci == 0)
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        d = d_ref[0, 0, :].reshape(m, 1)  # int32 digits
-        ar = jax.lax.broadcasted_iota(jnp.int32, (m, 256), 1)
-        oh = (jax.lax.div(d, 256) == ar).astype(jnp.bfloat16)
-        ol = ((d & 255) == ar).astype(jnp.bfloat16)
-        acc[...] += jax.lax.dot_general(
-            oh, ol, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        ar = jax.lax.broadcasted_iota(jnp.int32, (256, m), 0)
+        for w in range(n_windows):
+            d = d_ref[0, w, :][None, :]  # (1, m) int32 digits
+            oh = (jax.lax.div(d, 256) == ar).astype(jnp.bfloat16)
+            ol = ((d & 255) == ar).astype(jnp.bfloat16)
+            acc[w] += jax.lax.dot_general(
+                oh, ol, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(ci == nchunks - 1)
         def _():
-            o_ref[0] = acc[...].astype(jnp.int32)
+            o_ref[...] = acc[...].astype(jnp.int32)
 
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_windows, 256, 256), jnp.int32),
-        grid=(n_windows, nchunks),
+        grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((1, 1, m), lambda w, i: (w, i, 0),
+            pl.BlockSpec((1, n_windows, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, 256, 256), lambda w, i: (w, 0, 0),
+        out_specs=pl.BlockSpec((n_windows, 256, 256), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((256, 256), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_windows, 256, 256), jnp.float32)],
         interpret=interpret,
     )
 
@@ -335,9 +339,12 @@ def _digit_tails_all(digits_all, c: int, n: int):
     m = min(HIST_CHUNK, n)
     assert n % m == 0
     nchunks = n // m
-    hist = _hist_kernel_call(n_windows, nchunks, m, fv._interpret())(
-        digits_all.reshape(n_windows, nchunks, m)
+    # [n_windows, n] -> (nchunks, n_windows, m): chunk-major so each grid
+    # step's block covers the (n_windows, m) trailing dims whole
+    d_in = jnp.transpose(
+        digits_all.reshape(n_windows, nchunks, m), (1, 0, 2)
     )
+    hist = _hist_kernel_call(n_windows, nchunks, m, fv._interpret())(d_in)
     tails = jnp.cumsum(hist.reshape(n_windows, 65536), axis=1) - 1
     return tails[:, : (1 << c)]
 
@@ -378,7 +385,10 @@ def _rank_prefix_at_rows(sorted_packed, n: int, idx, safe: bool):
     CHUNK = gv.SCAN_CHUNK
     chains = n // CHUNK
     nblocks = chains // 1024
-    ins = [_rows_prep(p, nblocks, CHUNK) for p in sorted_packed]
+    if fv._interpret():
+        ins = [_rows_prep(p, nblocks, CHUNK) for p in sorted_packed]
+    else:
+        ins = gv.rows_prep_fused(list(sorted_packed), nblocks, CHUNK)
     if "scan" in ab:
         pref = jnp.stack(list(ins) + list(ins[:8]))
         flag = jnp.uint32(0)

@@ -139,3 +139,33 @@ def test_row_gather_path_matches_flat_gather():
         got.append(np.asarray(jnp.stack(limbs)))
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
+
+
+def test_rows_prep_fused_matches_reference():
+    """The Pallas rows-prep transpose kernel (interpret mode) equals the
+    XLA reshape/swapaxes reference layout."""
+    chunk, nblocks, nplanes = 4, 2, 3
+    n = nblocks * 1024 * chunk
+    rng = np.random.default_rng(21)
+    planes = [
+        jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint64
+                                 ).astype(np.uint32))
+        for _ in range(nplanes)
+    ]
+    import unittest.mock as mock
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    gv._rows_prep_call.cache_clear()
+    with mock.patch.object(pl, "pallas_call", interp):
+        got = gv.rows_prep_fused(planes, nblocks, chunk)
+    gv._rows_prep_call.cache_clear()
+    for g, p in zip(got, planes):
+        want = np.asarray(mv._rows_prep(p, nblocks, chunk))
+        assert np.array_equal(np.asarray(g), want)
