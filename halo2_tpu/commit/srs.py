@@ -179,10 +179,12 @@ class ParamsKZG:
     def from_tau(k: int, tau: int) -> "ParamsKZG":
         n = 1 << k
         dom = get_domain(k)
-        if n <= 512:
-            # tiny SRS: host bigint generation beats compiling the 256-step
-            # fixed-base device scan (minutes of XLA compile on a cold cache
-            # — dominates keygen-heavy test/dryrun paths at small k)
+        if n <= 512 or jax.default_backend() != "tpu":
+            # tiny SRS — and ANY SRS off-TPU: host bigint generation (native
+            # C++ G1) beats compiling the 256-step fixed-base device scan
+            # (minutes of XLA compile on a cold cache; the composed-jnp
+            # fallback of the vec scan took HOURS on the 1-core CPU box for
+            # k=10 — round-4 collatz e2e post-mortem)
             g_pows = []
             acc = 1
             for _ in range(n):
@@ -247,6 +249,11 @@ class ParamsKZG:
 
         if use_vec_msm(PX.shape[0]):
             return msm_vec(PX, PY, raw)
+        if jax.default_backend() != "tpu":
+            from .. import native
+
+            if native.lib() is not None:
+                return self._msm_native_batch_async(PX, PY, raw[None], 1)()[0]
         return g1.point_to_host(msm_mod.msm_device(PX, PY, raw))
 
     def commit_affine(self, coeffs_mont):
@@ -268,6 +275,24 @@ class ParamsKZG:
 
     def _msm_affine_batch(self, PX, PY, values_batch) -> list:
         return self._msm_affine_batch_async(PX, PY, values_batch)()
+
+    def _msm_native_batch_async(self, PX, PY, raws, m):
+        from .. import native
+        from ..field.bn254 import FQ_MOD
+        from ..field.limbs import limbs_to_ints, mont_limbs_to_ints
+
+        xs = mont_limbs_to_ints(np.asarray(PX), FQ_MOD)
+        ys = mont_limbs_to_ints(np.asarray(PY), FQ_MOD)
+        pts = list(zip(xs, ys))
+        raws_np = np.asarray(raws)
+
+        def resolve() -> list:
+            return [
+                native.g1_msm(pts, limbs_to_ints(raws_np[i]))
+                for i in range(m)
+            ]
+
+        return resolve
 
     def commit_lagrange_affine_batch(self, values_batch) -> list:
         """[m, n, 16] evaluation-basis polys -> m host affine points."""
@@ -305,6 +330,14 @@ class ParamsKZG:
         raws = mont.from_mont(FR, values_batch)
         if use_vec_msm(PX.shape[0]):
             return msm_vec_batch_async(PX, PY, [raws[i] for i in range(m)])
+        if jax.default_backend() != "tpu":
+            # off-TPU the native C++ Pippenger beats compiling the portable
+            # device MSM by orders of magnitude (XLA:CPU took minutes per
+            # shape on the 1-core box; the C++ MSM at n=2^10 is ~ms)
+            from .. import native
+
+            if native.lib() is not None:
+                return self._msm_native_batch_async(PX, PY, raws, m)
         # portable path: all device programs dispatch asynchronously here;
         # only the resolver's np.asarray readbacks block
         pts = [msm_mod.msm_device(PX, PY, raws[i]) for i in range(m)]

@@ -109,10 +109,21 @@ def quotient_ext(
     cs = pk.vk.cs
     dom = pk.vk.domain
     ext_n = dom.extended_n
-    if ext_n % fv.GROUP == 0 and mesh is None:
+    # the vec path only pays on TPU: off-TPU its Pallas kernels fall back to
+    # composed jnp graphs whose XLA:CPU compiles dwarf the portable body
+    # (a k=10 Collatz prove spent hours compiling them on the 1-core box)
+    if ext_n % fv.GROUP == 0 and mesh is None and not fv._interpret():
         return _quotient_ext_vec(
             pk, advice_ext, instance_ext, z_exts, perm_value_exts,
             y, beta, gamma, lookup_exts, lookup_theta,
+        )
+    if (mesh is not None and not fv._interpret()
+            and (ext_n // mesh.devices.size) % fv.GROUP == 0):
+        # sharded vec path: pre-rolled inputs (rolls lower to collective
+        # permutes in the enclosing jit), pointwise Pallas body per shard
+        return _quotient_ext_vec(
+            pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+            y, beta, gamma, lookup_exts, lookup_theta, mesh=mesh,
         )
     rot_scale = 1 << (dom.extended_k - dom.k)
     bf = cs.blinding_factors()
@@ -251,192 +262,285 @@ def pow_delta(j: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _collect_rotations(cs):
+    """(kind, column_index) -> sorted rotations used by gates + lookups."""
+    rots: dict = {}
+
+    def reg(kind, q):
+        rots.setdefault((kind, q.column_index), set()).add(q.rotation)
+
+    def walk(expr):
+        evaluate(
+            expr,
+            constant=lambda v: None,
+            fixed=lambda q: reg("fixed", q),
+            advice=lambda q: reg("advice", q),
+            instance=lambda q: reg("instance", q),
+            selector=lambda q: None,
+            add=lambda a, b: None,
+            mul=lambda a, b: None,
+            neg=lambda a: None,
+            scale=lambda a, sc: None,
+        )
+
+    for gate in cs.gates:
+        for poly in gate.polys:
+            walk(poly)
+    for (_name, pairs) in cs.lookups:
+        for (inp, tab) in pairs:
+            walk(inp)
+            walk(tab)
+    return {k: sorted(v) for k, v in rots.items()}
+
+
 def _quotient_ext_vec(
     pk, advice_ext, instance_ext, z_exts, perm_value_exts,
-    y, beta, gamma, lookup_exts, lookup_theta,
+    y, beta, gamma, lookup_exts, lookup_theta, mesh=None,
 ):
+    """Vec-kernel quotient.  All rotations are applied to the INPUT arrays
+    up front (they only ever touch inputs, never intermediates), so the
+    remaining body is purely pointwise — under `mesh` it runs as a
+    shard_map over the domain axis with every Pallas kernel operating on
+    its local shard (round-3 review ask #7; the rolls lower to collective
+    permutes in the enclosing jit)."""
     cs = pk.vk.cs
     dom = pk.vk.domain
     ext_n = dom.extended_n
     rot_scale = 1 << (dom.extended_k - dom.k)
     bf = cs.blinding_factors()
-    rows = -(-ext_n // fv.GROUP) * fv.SUB
-
-    lift = fv.to_vec
+    chunk_len = cs.permutation_chunk_len() if z_exts else 0
 
     def scal(v: int):
         return jnp.asarray(scalar_mont(v))
 
     y_m, beta_m, gamma_m = scal(y), scal(beta), scal(gamma)
-    zero_v = jnp.zeros((16, rows, fv.LANES), dtype=jnp.uint32)
+    theta_m = scal(lookup_theta)
+    one_m = scal(1)
 
-    def broadcast_scalar(s):
-        return jnp.broadcast_to(s.reshape(16, 1, 1), (16, rows, fv.LANES))
+    def pre_roll(arr2d, rot: int):
+        if rot == 0:
+            return arr2d
+        return jnp.roll(arr2d, -rot * rot_scale, axis=0)
 
-    def vroll(a, rotation: int):
-        if rotation == 0:
-            return a
-        flat = a.reshape(16, ext_n)
-        return jnp.roll(flat, -rotation * rot_scale, axis=1).reshape(
-            16, rows, fv.LANES
-        )
-
-    def mul_d(a, b):
-        if a.ndim == 1 and b.ndim == 1:
-            return mont.mul(FR, a[None, :], b[None, :])[0]
-        if a.ndim == 1:
-            return fv.vscale(FR, b, a)
-        if b.ndim == 1:
-            return fv.vscale(FR, a, b)
-        return fv.vmul(FR, a, b)
-
-    def add_d(a, b):
-        if a.ndim == 1 and b.ndim == 1:
-            return mont.add(FR, a[None, :], b[None, :])[0]
-        if a.ndim == 1:
-            return fv.vadd_scalar(FR, b, a)
-        if b.ndim == 1:
-            return fv.vadd_scalar(FR, a, b)
-        return fv.vadd(FR, a, b)
-
-    def neg_d(a):
-        if a.ndim == 1:
-            return mont.neg(FR, a[None, :])[0]
-        return fv.vsub(FR, zero_v, a)
-
-    def sub_d(a, b):
-        return fv.vsub(FR, a, b)
-
-    fixed_v = [lift(pk.fixed_ext[i]) for i in range(pk.fixed_ext.shape[0])]
-    advice_v = [lift(advice_ext[i]) for i in range(advice_ext.shape[0])]
-    instance_v = [lift(instance_ext[i]) for i in range(instance_ext.shape[0])]
-
-    def eval_vec(expr):
-        return evaluate(
-            expr,
-            constant=scal,
-            fixed=lambda q: vroll(fixed_v[q.column_index], q.rotation),
-            advice=lambda q: vroll(advice_v[q.column_index], q.rotation),
-            instance=lambda q: vroll(instance_v[q.column_index], q.rotation),
-            selector=lambda q: (_ for _ in ()).throw(
-                AssertionError("unfinalized selector")
-            ),
-            add=add_d,
-            mul=mul_d,
-            neg=neg_d,
-            scale=lambda a, s: mul_d(a, scal(s)),
-        )
-
-    value = zero_v
-
-    def fold(value, ev):
-        if ev.ndim == 1:
-            ev = broadcast_scalar(ev)
-        return fv.vfma_scalar(FR, value, y_m, ev)
-
-    # ---- custom gates ---------------------------------------------------------
-    for gate in cs.gates:
-        for poly in gate.polys:
-            value = fold(value, eval_vec(poly))
-
-    # ---- permutation constraints ------------------------------------------------
+    lift = fv.to_vec
+    srcs = {"fixed": pk.fixed_ext, "advice": advice_ext,
+            "instance": instance_ext}
+    rolled = {
+        f"{kind}.{col}.{rot}": lift(pre_roll(srcs[kind][col], rot))
+        for (kind, col), rr in _collect_rotations(cs).items()
+        for rot in rr
+    }
+    z_in = [
+        {"0": lift(z), "1": lift(pre_roll(z, 1)),
+         "last": lift(pre_roll(z, -(bf + 1)))}
+        for z in z_exts
+    ]
+    lk_in = [
+        {"z": lift(le["z"]), "z1": lift(pre_roll(le["z"], 1)),
+         "a": lift(le["a_perm"]), "a_inv": lift(pre_roll(le["a_perm"], -1)),
+         "s": lift(le["s_perm"])}
+        for le in lookup_exts
+    ]
+    consts = {
+        "zh_inv": lift(_zh_inv_ext(dom.k, dom.extended_k)),
+    }
     if z_exts:
-        chunk_len = cs.permutation_chunk_len()
-        l0 = lift(pk.l0_ext)
-        l_last = lift(pk.l_last_ext)
-        l_active = lift(pk.l_active_ext)
-        one = scal(1)
-        z_v = [lift(z) for z in z_exts]
-        # l_0 * (1 - z_0)
-        value = fold(
-            value, fv.vmul(FR, l0, fv.vsub(FR, broadcast_scalar(one), z_v[0]))
+        consts.update(
+            l0=lift(pk.l0_ext), l_last=lift(pk.l_last_ext),
+            l_active=lift(pk.l_active_ext),
+            ident_x=lift(coset_identity_ext(dom.extended_k)),
         )
-        # l_last * (z_l^2 - z_l)
-        zl = z_v[-1]
-        value = fold(
-            value, fv.vmul(FR, l_last, fv.vsub(FR, fv.vmul(FR, zl, zl), zl))
+        consts["sigma"] = [
+            lift(pk.sigma_ext[j]) for j in range(pk.sigma_ext.shape[0])
+        ]
+        consts["pv"] = [
+            lift(perm_value_exts[j]) for j in range(perm_value_exts.shape[0])
+        ]
+    elif lookup_exts:
+        consts.update(
+            l0=lift(pk.l0_ext), l_last=lift(pk.l_last_ext),
+            l_active=lift(pk.l_active_ext),
         )
-        # continuity: l_0 * (z_i - z_{i-1}(w^u X))
-        for i in range(1, len(z_v)):
-            prev_at_last = vroll(z_v[i - 1], -(bf + 1))
-            value = fold(
-                value, fv.vmul(FR, l0, fv.vsub(FR, z_v[i], prev_at_last))
-            )
-        # main product constraint per chunk
-        ident_x = lift(coset_identity_ext(dom.extended_k))
-        sigma_v = [lift(pk.sigma_ext[j]) for j in range(pk.sigma_ext.shape[0])]
-        pv_v = [lift(perm_value_exts[j]) for j in range(perm_value_exts.shape[0])]
-        for ci, z in enumerate(z_v):
-            s = ci * chunk_len
-            e = min(s + chunk_len, perm_value_exts.shape[0])
-            left = vroll(z, 1)  # z(wX)
-            right = z
-            for j in range(s, e):
-                v = pv_v[j]
-                # left *= v + sigma_j * beta + gamma
-                t = fv.vfma_scalar(FR, sigma_v[j], beta_m, v)
-                left = fv.vmul(FR, left, fv.vadd_scalar(FR, t, gamma_m))
-                # right *= v + X * (beta * delta^j) + gamma
-                bd = mont.mul(
-                    FR, beta_m[None, :], scal(pow_delta(j))[None, :]
-                )[0]
-                t = fv.vfma_scalar(FR, ident_x, bd, v)
-                right = fv.vmul(FR, right, fv.vadd_scalar(FR, t, gamma_m))
-            value = fold(value, fv.vmul(FR, l_active, fv.vsub(FR, left, right)))
 
-    # ---- lookup constraints -------------------------------------------------------
-    if lookup_exts:
-        l0 = lift(pk.l0_ext)
-        l_last = lift(pk.l_last_ext)
-        l_active = lift(pk.l_active_ext)
-        one = scal(1)
-        theta_m = scal(lookup_theta)
+    def body(rolled, z_in, lk_in, consts):
+        rows = consts["zh_inv"].shape[1]
+        zero_v = jnp.zeros((16, rows, fv.LANES), dtype=jnp.uint32)
 
-        def compress_vec(exprs):
-            acc = zero_v
-            for e in exprs:
-                ev = eval_vec(e)
-                if ev.ndim == 1:
-                    ev = broadcast_scalar(ev)
-                acc = fv.vfma_scalar(FR, acc, theta_m, ev)
-            return acc
+        def broadcast_scalar(sv):
+            return jnp.broadcast_to(sv.reshape(16, 1, 1), (16, rows, fv.LANES))
 
-        for le, (_name, pairs) in zip(lookup_exts, cs.lookups):
-            z = lift(le["z"])
-            a_p = lift(le["a_perm"])
-            s_p = lift(le["s_perm"])
-            a_comp = compress_vec([i for i, _ in pairs])
-            s_comp = compress_vec([t for _, t in pairs])
-            # l_0 * (1 - z)
-            value = fold(
-                value, fv.vmul(FR, l0, fv.vsub(FR, broadcast_scalar(one), z))
+        def mul_d(a, b):
+            if a.ndim == 1 and b.ndim == 1:
+                return mont.mul(FR, a[None, :], b[None, :])[0]
+            if a.ndim == 1:
+                return fv.vscale(FR, b, a)
+            if b.ndim == 1:
+                return fv.vscale(FR, a, b)
+            return fv.vmul(FR, a, b)
+
+        def add_d(a, b):
+            if a.ndim == 1 and b.ndim == 1:
+                return mont.add(FR, a[None, :], b[None, :])[0]
+            if a.ndim == 1:
+                return fv.vadd_scalar(FR, b, a)
+            if b.ndim == 1:
+                return fv.vadd_scalar(FR, a, b)
+            return fv.vadd(FR, a, b)
+
+        def neg_d(a):
+            if a.ndim == 1:
+                return mont.neg(FR, a[None, :])[0]
+            return fv.vsub(FR, zero_v, a)
+
+        def eval_vec(expr):
+            return evaluate(
+                expr,
+                constant=scal,
+                fixed=lambda q: rolled[f"fixed.{q.column_index}.{q.rotation}"],
+                advice=lambda q: rolled[f"advice.{q.column_index}.{q.rotation}"],
+                instance=lambda q: rolled[
+                    f"instance.{q.column_index}.{q.rotation}"
+                ],
+                selector=lambda q: (_ for _ in ()).throw(
+                    AssertionError("unfinalized selector")
+                ),
+                add=add_d,
+                mul=mul_d,
+                neg=neg_d,
+                scale=lambda a, sc: mul_d(a, scal(sc)),
             )
-            # l_last * (z^2 - z)
-            value = fold(
-                value, fv.vmul(FR, l_last, fv.vsub(FR, fv.vmul(FR, z, z), z))
-            )
-            # l_active * (z(wX)(A'+beta)(S'+gamma) - z(X)(A+beta)(S+gamma))
-            left = fv.vmul(
-                FR,
-                fv.vmul(FR, vroll(z, 1), fv.vadd_scalar(FR, a_p, beta_m)),
-                fv.vadd_scalar(FR, s_p, gamma_m),
-            )
-            right = fv.vmul(
-                FR,
-                fv.vmul(FR, z, fv.vadd_scalar(FR, a_comp, beta_m)),
-                fv.vadd_scalar(FR, s_comp, gamma_m),
-            )
-            value = fold(value, fv.vmul(FR, l_active, fv.vsub(FR, left, right)))
-            # l_0 * (A' - S')
-            diff = fv.vsub(FR, a_p, s_p)
-            value = fold(value, fv.vmul(FR, l0, diff))
-            # l_active * (A' - S') * (A' - A'(w^-1 X))
-            a_prev = vroll(a_p, -1)
+
+        value = zero_v
+
+        def fold(value, evv):
+            if evv.ndim == 1:
+                evv = broadcast_scalar(evv)
+            return fv.vfma_scalar(FR, value, y_m, evv)
+
+        # ---- custom gates -------------------------------------------------
+        for gate in cs.gates:
+            for poly in gate.polys:
+                value = fold(value, eval_vec(poly))
+
+        # ---- permutation constraints --------------------------------------
+        if z_in:
+            l0 = consts["l0"]
+            l_last = consts["l_last"]
+            l_active = consts["l_active"]
+            z_v = [zd["0"] for zd in z_in]
+            # l_0 * (1 - z_0)
             value = fold(
                 value,
-                fv.vmul(FR, fv.vmul(FR, l_active, diff), fv.vsub(FR, a_p, a_prev)),
+                fv.vmul(FR, l0, fv.vsub(FR, broadcast_scalar(one_m), z_v[0])),
             )
+            # l_last * (z_l^2 - z_l)
+            zl = z_v[-1]
+            value = fold(
+                value, fv.vmul(FR, l_last, fv.vsub(FR, fv.vmul(FR, zl, zl), zl))
+            )
+            # continuity: l_0 * (z_i - z_{i-1}(w^u X))
+            for i in range(1, len(z_v)):
+                prev_at_last = z_in[i - 1]["last"]
+                value = fold(
+                    value, fv.vmul(FR, l0, fv.vsub(FR, z_v[i], prev_at_last))
+                )
+            # main product constraint per chunk
+            ident_x = consts["ident_x"]
+            sigma_v = consts["sigma"]
+            pv_v = consts["pv"]
+            for ci, zd in enumerate(z_in):
+                st = ci * chunk_len
+                en = min(st + chunk_len, len(pv_v))
+                left = zd["1"]  # z(wX)
+                right = zd["0"]
+                for j in range(st, en):
+                    v = pv_v[j]
+                    # left *= v + sigma_j * beta + gamma
+                    t = fv.vfma_scalar(FR, sigma_v[j], beta_m, v)
+                    left = fv.vmul(FR, left, fv.vadd_scalar(FR, t, gamma_m))
+                    # right *= v + X * (beta * delta^j) + gamma
+                    bd = mont.mul(
+                        FR, beta_m[None, :], scal(pow_delta(j))[None, :]
+                    )[0]
+                    t = fv.vfma_scalar(FR, ident_x, bd, v)
+                    right = fv.vmul(FR, right, fv.vadd_scalar(FR, t, gamma_m))
+                value = fold(
+                    value, fv.vmul(FR, l_active, fv.vsub(FR, left, right))
+                )
 
-    # ---- divide by the vanishing polynomial ----------------------------------------
-    zh_inv = lift(_zh_inv_ext(dom.k, dom.extended_k))
-    return fv.from_vec(fv.vmul(FR, value, zh_inv), ext_n)
+        # ---- lookup constraints -------------------------------------------
+        if lk_in:
+            l0 = consts["l0"]
+            l_last = consts["l_last"]
+            l_active = consts["l_active"]
+
+            def compress_vec(exprs):
+                acc = zero_v
+                for e in exprs:
+                    evv = eval_vec(e)
+                    if evv.ndim == 1:
+                        evv = broadcast_scalar(evv)
+                    acc = fv.vfma_scalar(FR, acc, theta_m, evv)
+                return acc
+
+            for ld, (_name, pairs) in zip(lk_in, cs.lookups):
+                z = ld["z"]
+                a_p = ld["a"]
+                s_p = ld["s"]
+                a_comp = compress_vec([i for i, _ in pairs])
+                s_comp = compress_vec([t for _, t in pairs])
+                # l_0 * (1 - z)
+                value = fold(
+                    value,
+                    fv.vmul(FR, l0, fv.vsub(FR, broadcast_scalar(one_m), z)),
+                )
+                # l_last * (z^2 - z)
+                value = fold(
+                    value,
+                    fv.vmul(FR, l_last, fv.vsub(FR, fv.vmul(FR, z, z), z)),
+                )
+                # l_active * (z(wX)(A'+beta)(S'+gamma) - z(X)(A+beta)(S+gamma))
+                left = fv.vmul(
+                    FR,
+                    fv.vmul(FR, ld["z1"], fv.vadd_scalar(FR, a_p, beta_m)),
+                    fv.vadd_scalar(FR, s_p, gamma_m),
+                )
+                right = fv.vmul(
+                    FR,
+                    fv.vmul(FR, z, fv.vadd_scalar(FR, a_comp, beta_m)),
+                    fv.vadd_scalar(FR, s_comp, gamma_m),
+                )
+                value = fold(
+                    value, fv.vmul(FR, l_active, fv.vsub(FR, left, right))
+                )
+                # l_0 * (A' - S')
+                diff = fv.vsub(FR, a_p, s_p)
+                value = fold(value, fv.vmul(FR, l0, diff))
+                # l_active * (A' - S') * (A' - A'(w^-1 X))
+                value = fold(
+                    value,
+                    fv.vmul(
+                        FR,
+                        fv.vmul(FR, l_active, diff),
+                        fv.vsub(FR, a_p, ld["a_inv"]),
+                    ),
+                )
+
+        return fv.vmul(FR, value, consts["zh_inv"])
+
+    if mesh is None:
+        value = body(rolled, z_in, lk_in, consts)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..dist.mesh import SHARD_AXIS
+
+        spec = P(None, SHARD_AXIS, None)
+        args = (rolled, z_in, lk_in, consts)
+        specs = jax.tree_util.tree_map(lambda _: spec, args)
+        value = shard_map(
+            body, mesh=mesh, in_specs=specs, out_specs=spec,
+            check_rep=False,
+        )(*args)
+    return fv.from_vec(value, ext_n)

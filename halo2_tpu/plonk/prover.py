@@ -245,14 +245,27 @@ def create_proof(
                 "z": dom.coeff_to_extended(ld["z_coeff"]),
             }
         )
+        # the lagrange-basis lookup working set (compressed inputs, permuted
+        # pairs, z values) is dead once the coeff forms exist — free ~6
+        # domain-size arrays per lookup before the quotient's extended work
+        for key in ("A_dev", "S_dev", "ap_u", "sp_u", "a_dev", "s_dev",
+                    "z_dev"):
+            ld.pop(key, None)
 
     h_ext = quotient_ext(
         pk, advice_ext, instance_ext, z_exts, perm_value_ext, y, beta, gamma,
         lookup_exts=lookup_exts, lookup_theta=theta, mesh=mesh,
     )
+    # the extended-domain working set is dead after the quotient — drop it
+    # before the h NTT/commit and evaluations (at k=20 each extended array
+    # is ~256 MB and HBM is the binding resource; the round-4 k=20 run
+    # OOM'd at eval_grouped with these still referenced)
+    del advice_ext, instance_ext, z_exts, perm_value_ext, lookup_exts
     h_coeff_full = dom.extended_to_coeff(h_ext)
+    del h_ext
     qd = cs.degree() - 1
     h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(qd)]
+    del h_coeff_full
     for com in params.commit_affine_batch(jnp.stack(h_pieces)):
         transcript.write_point(com)
 

@@ -87,8 +87,13 @@ def eval_grouped(groups):
 
     outs = []
     for point, polys in groups:
-        batch = jnp.stack(polys)  # [m, n, 16]
-        outs.append(eval_polys_at(batch, scalar_mont(point)))
+        xm = scalar_mont(point)
+        # dispatch per poly, not one [m, n, 16] stack: the batched horner
+        # graph holds several m*n-sized temporaries live and exhausted HBM
+        # at k=20 with ~8 opened polys (round-4 prove-scale post-mortem);
+        # per-poly programs queue asynchronously all the same
+        for poly in polys:
+            outs.append(eval_polys_at(poly[None], xm))
     if not outs:
         return []
     flat = np.asarray(jnp.concatenate(outs, axis=0))  # single readback

@@ -30,7 +30,12 @@ def test_poseidon_e2e_api():
 @pytest.mark.slow
 def test_collatz_e2e_api():
     params = api.setup(10, seed=b"slow-collatz")
-    s = json.dumps({"x": [6]})
+    # the JSON carries the FULL trajectory (the reference resizes the given
+    # list to 32 rows padded with 1s, collatz.rs:256-261 — a bare starting
+    # value like [6] pads to [6,1,1,...], an unsatisfiable witness)
+    from halo2_tpu.circuits.collatz import collatz_conjecture
+
+    s = json.dumps({"x": collatz_conjecture(6)})
     proof = api.generate_proof(params, s, 0, rng_seed=b"c")
     assert api.verify_proof(params, proof, s, 0)
     bad = bytearray(proof)

@@ -7,6 +7,7 @@ portable oracle on the real arithmetic-circuit proving key over a domain
 large enough to tile the vec kernels (ext_n % 1024 == 0).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -19,11 +20,15 @@ from halo2_tpu.plonk import evaluation as ev
 from halo2_tpu.plonk.keygen import keygen
 
 
+@pytest.fixture(scope="module")
+def pk_k10():
+    params = ParamsKZG.setup(10)
+    return keygen(params, arithmetic.create_circuit(3, 4, 5))
+
+
 @pytest.mark.slow
-def test_quotient_vec_matches_portable():
-    k = 10  # arithmetic extended_k = k + 1 -> ext_n = 2048
-    params = ParamsKZG.setup(k)
-    pk = keygen(params, arithmetic.create_circuit(3, 4, 5))
+def test_quotient_vec_matches_portable(pk_k10):
+    pk = pk_k10
     dom = pk.vk.domain
     ext_n = dom.extended_n
     assert ext_n % 1024 == 0, "domain must tile the vec kernels"
@@ -78,3 +83,61 @@ def test_quotient_vec_matches_portable():
         fv.GROUP = orig
 
     assert np.array_equal(h_vec, h_port)
+
+
+@pytest.mark.slow
+def test_quotient_vec_sharded_matches_single(pk_k10):
+    """quotient_ext under a 2-device CPU mesh (sharded vec body via
+    shard_map, round-3 ask #7) must equal the single-device vec result.
+    2 of the 8 virtual devices: ext_n = 2048 -> 1024 rows/shard, the
+    smallest GROUP-aligned sharding."""
+    from halo2_tpu.dist.mesh import SHARD_AXIS
+    from jax.sharding import Mesh
+
+    pk = pk_k10
+    dom = pk.vk.domain
+    ext_n = dom.extended_n
+    mesh = Mesh(np.asarray(jax.devices()[:2]), (SHARD_AXIS,))
+    assert (ext_n // 2) % 1024 == 0
+
+    rng = np.random.default_rng(7)
+    cs = pk.vk.cs
+
+    def rand_ext(count):
+        if count == 0:
+            return jnp.zeros((0, ext_n, 16), dtype=jnp.uint32)
+        vals = [
+            ints_to_mont_limbs(
+                [int(x) for x in rng.integers(0, 2**62, size=ext_n)], FR_MOD
+            )
+            for _ in range(count)
+        ]
+        return jnp.asarray(np.stack(vals))
+
+    advice_ext = rand_ext(max((q[0] for q in cs.advice_queries), default=-1) + 1)
+    instance_ext = rand_ext(
+        max((q[0] for q in cs.instance_queries), default=-1) + 1
+    )
+    P = len(cs.permutation_columns)
+    perm_value_exts = rand_ext(P)
+    n_chunks = (
+        (P + cs.permutation_chunk_len() - 1) // cs.permutation_chunk_len()
+        if P
+        else 0
+    )
+    z_exts = [rand_ext(1)[0] for _ in range(n_chunks)]
+    y, beta, gamma = 55555, 66666, 77777
+
+    h_single = np.asarray(
+        ev.quotient_ext(
+            pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+            y, beta, gamma,
+        )
+    )
+    h_sharded = np.asarray(
+        ev.quotient_ext(
+            pk, advice_ext, instance_ext, z_exts, perm_value_exts,
+            y, beta, gamma, mesh=mesh,
+        )
+    )
+    assert np.array_equal(h_single, h_sharded)
