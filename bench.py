@@ -210,7 +210,9 @@ def bench_msm(k: int) -> float:
     PX, PY = _msm_points(k)
     log(f"msm 2^{k}: points ready {time.perf_counter()-t0:.2f}s")
 
-    c = int(os.environ.get("BENCH_MSM_C", "0")) or (16 if n >= (1 << 16) else 8)
+    # c=13 selects the tiled grouping pipeline (per-tile in-VMEM bitonic
+    # sort, ec/g1_vec._tile_sort_call) — the production default
+    c = int(os.environ.get("BENCH_MSM_C", "0")) or (13 if n >= (1 << 16) else 8)
     glv = os.environ.get("BENCH_MSM_GLV", "1") != "0"
     partials = _msm_window_partials_glv if glv else _msm_window_partials
     scalars = _rand_limbs_device(2, n)

@@ -917,3 +917,101 @@ def _rank_offset_add_call(chunk: int, chains: int, blk: int = RANK_BLK):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-tile bitonic payload sort (the MSM's bucket-grouping step).
+#
+# Replaces the GLOBAL XLA sort over the whole window stream — measured ~60%
+# of the MSM at 2^20 (ROADMAP round-4 profile: ~31 ms/window for 17 u32
+# payload operands through a 2^21-deep network) — with an IN-VMEM bitonic
+# sort of independent tiles.  Bucket partial sums are associative across
+# tiles, and the cross-tile correction terms cancel exactly in the bucket
+# telescope (see msm_vec._msm_window_partials), so grouping only ever needs
+# to be tile-local.  The tile lives entirely in VMEM: the only HBM traffic
+# is one read + one write of the payload (vs log2(n) round trips for the
+# global sort).
+#
+# Every compare-exchange stage is expressed with jnp.roll on the row or
+# lane axis: partner(i) = i ^ s == i + s (bit clear) / i - s (bit set), so
+# part = where(bit_s(i), roll(+s), roll(-s)) — no transposes, no
+# gather/scatter, just rotates and selects the VPU handles natively.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_sort_call(ntiles: int, rows: int, interpret: bool):
+    """Bitonic sort of each tile's rows*128 elements by u32 key, the 16
+    packed payload planes riding along (key discarded — bucket boundaries
+    come from the digit histogram, not the sorted keys).
+
+    key:     [ntiles, rows, 128] u32 (window digits, values < 2^16)
+    payload: [16, ntiles, rows, 128] u32 (packed X|Y limb planes)
+    returns  [16, ntiles, rows, 128] u32, tile-locally grouped by key.
+
+    Flat element index within a tile is i = r*128 + l (row-major), matching
+    the [n]-stream reshape the downstream rows-scan consumes.
+    """
+    m = rows * 128
+    nbits = m.bit_length() - 1
+    assert (1 << nbits) == m and rows >= 8, (ntiles, rows)
+
+    PCHUNK = 4  # payload planes rolled/selected together (bounds VMEM temps)
+
+    def kernel(k_ref, p_ref, o_ref):
+        key = k_ref[0]       # [rows, 128]
+        pay = [p_ref[g : g + PCHUNK, 0] for g in range(0, 16, PCHUNK)]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        for k in range(1, nbits + 1):
+            # direction = bit k of i (bit nbits is 0 -> final phase ascends)
+            if k <= 6:
+                desc = (li >> k) & 1
+            else:
+                desc = (ri >> (k - 7)) & 1
+            for sb in range(k - 1, -1, -1):
+                if sb >= 7:
+                    s, ax = 1 << (sb - 7), 0
+                    hi = (ri >> (sb - 7)) & 1
+                else:
+                    s, ax = 1 << sb, 1
+                    hi = (li >> sb) & 1
+                hib = hi == 1
+                kpart = jnp.where(
+                    hib, jnp.roll(key, s, axis=ax), jnp.roll(key, -s, axis=ax)
+                )
+                # swap out-of-order pairs; on equal keys both sides keep
+                # self (consistent, no element duplicated).  Boolean algebra
+                # instead of where-over-bool-branches (Mosaic cannot select
+                # between i1 vectors)
+                flip = (hi ^ desc) == 1
+                keep = (hi ^ desc) == 0
+                take = (flip & (kpart > key)) | (keep & (kpart < key))
+                key = jnp.where(take, kpart, key)
+                for g in range(len(pay)):
+                    ppart = jnp.where(
+                        hib[None],
+                        jnp.roll(pay[g], s, axis=ax + 1),
+                        jnp.roll(pay[g], -s, axis=ax + 1),
+                    )
+                    pay[g] = jnp.where(take[None], ppart, pay[g])
+        for g in range(len(pay)):
+            o_ref[g * PCHUNK : (g + 1) * PCHUNK, 0] = pay[g]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((16, ntiles, rows, 128), jnp.uint32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, rows, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 1, rows, 128), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, 1, rows, 128), lambda t: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )

@@ -36,6 +36,14 @@ from . import g1_vec as gv
 
 SCALAR_BITS = 256
 
+# Tiled grouping pipeline (c <= 13): elements per in-VMEM sort tile.  2^18
+# elements x 17 u32 planes = 17.3 MB — the whole tile sorts inside VMEM
+# (v5e: 128 MB), so grouping costs one HBM read + write instead of the
+# global sort's log2(n) round trips.  TILE_MIN gates the path to sizes the
+# histogram chunking divides.
+TILE_SORT = 1 << 18
+TILE_MIN = 1 << 15
+
 
 def _digits(scalars, c: int, bits: int = SCALAR_BITS):
     """[n, 16] raw scalar limbs -> [n_windows, n] int32 digits."""
@@ -349,6 +357,86 @@ def _digit_tails_all(digits_all, c: int, n: int):
     return tails[:, : (1 << c)]
 
 
+@functools.lru_cache(maxsize=None)
+def _hist_tiled_call(n_windows: int, nchunks: int, m: int, tile_chunks: int,
+                     interpret: bool):
+    """Per-TILE digit histograms: [nchunks, n_windows, m] int32 digits ->
+    [ntiles, n_windows, 256, 256] int32 counts, where tile t covers chunks
+    [t*tile_chunks, (t+1)*tile_chunks).  Same MXU one-hot contraction as
+    _hist_kernel_call; the accumulator resets at each tile boundary."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ntiles = nchunks // tile_chunks
+
+    def kernel(d_ref, o_ref, acc):
+        ci = pl.program_id(0)
+
+        @pl.when(ci % tile_chunks == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        ar = jax.lax.broadcasted_iota(jnp.int32, (256, m), 0)
+        for w in range(n_windows):
+            d = d_ref[0, w, :][None, :]  # (1, m) int32 digits
+            oh = (jax.lax.div(d, 256) == ar).astype(jnp.bfloat16)
+            ol = ((d & 255) == ar).astype(jnp.bfloat16)
+            acc[w] += jax.lax.dot_general(
+                oh, ol, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(ci % tile_chunks == tile_chunks - 1)
+        def _():
+            o_ref[...] = acc[...].astype(jnp.int32)[None]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ntiles, n_windows, 256, 256),
+                                       jnp.int32),
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, n_windows, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_windows, 256, 256),
+            lambda i: (i // tile_chunks, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((n_windows, 256, 256), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _digit_tails_tiled(digits_all, c: int, n: int, tile: int):
+    """Per-tile bucket tails with the tile base offset folded in:
+
+        tails[w, t, v] = t*tile - 1 + #{i in tile t : digit_w[i] <= v}
+
+    i.e. the GLOBAL rank of the last element of tile t's bucket-(<=v) prefix
+    in the per-tile-sorted stream; t*tile - 1 when the prefix is empty (< 0
+    only for t == 0, where it selects the identity placeholder downstream).
+    Returns int32 [n_windows, ntiles, 2^c]."""
+    n_windows = digits_all.shape[0]
+    ntiles = n // tile
+    m = min(HIST_CHUNK, n)
+    assert n % m == 0 and tile % m == 0
+    nchunks = n // m
+    d_in = jnp.transpose(
+        digits_all.reshape(n_windows, nchunks, m), (1, 0, 2)
+    )
+    hist = _hist_tiled_call(
+        n_windows, nchunks, m, tile // m, fv._interpret()
+    )(d_in)  # [ntiles, n_windows, 256, 256]
+    V = 1 << c
+    hi_rows = (V + 255) // 256  # digits < 2^c -> only these rows non-zero
+    h = hist[:, :, :hi_rows, :].reshape(ntiles, n_windows, hi_rows * 256)
+    tails = jnp.cumsum(h, axis=-1)[..., :V] - 1
+    base = (jnp.arange(ntiles, dtype=jnp.int32) * tile)[:, None, None]
+    return jnp.transpose(tails + base, (1, 0, 2))
+
+
 def _ablate() -> set:
     """TIMING DIAGNOSTICS ONLY: comma list in HALO2_MSM_TIMING_ABLATE of
     pipeline pieces to stub out (results become WRONG; shapes/costs of the
@@ -529,12 +617,29 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
     CHUNK = gv.SCAN_CHUNK
     chains = n // CHUNK
     fast = not fv._interpret() and n % (CHUNK * 1024) == 0
+    # c <= 13 selects the TILED grouping pipeline: per-tile in-VMEM bitonic
+    # sort (gv._tile_sort_call) + per-tile bucket tails.  Bucket partial
+    # sums are associative across tiles and the cross-tile boundary terms
+    # cancel exactly in the telescope (see the tiled branch below), so the
+    # global 17-operand XLA payload sort — measured ~60% of the whole MSM
+    # at 2^20 — is never needed.  c == 16 keeps the legacy global-sort path
+    # (explicit-c callers: dist/msm.py shards, profiling scripts).
+    tiled = fast and c <= 13 and n >= TILE_MIN
     # the point limbs ride the sort as PACKED payload operands (2 limbs per
     # u32 plane, 17 sort operands total): measured cheaper than sorting
     # (key, iota) and row-gathering the points afterwards (XLA's row gather
     # runs at gather-op overhead speed regardless of locality,
     # scripts/gather_probe.py), and packing halves the sort's byte traffic
-    if fast:
+    if tiled:
+        tile = min(TILE_SORT, n)
+        ntiles = n // tile
+        R = tile // 128
+        # [n,16] packed planes -> plane-major [16,n] ONCE (Mosaic transpose);
+        # per window only the key plane changes
+        payT = fv.transpose_u32(_pack_xy(PX, PY))
+        pay_in = payT.reshape(16, ntiles, R, 128)
+        pcols = ()
+    elif fast:
         packed = _pack_xy(PX, PY)  # [n, 16]
         pcols = tuple(packed[:, i] for i in range(16))
     else:
@@ -546,10 +651,72 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
     # all windows' bucket tails from ONE fused histogram kernel (MXU one-hot
     # contraction in VMEM) — outside the window scan, ~8x cheaper than the
     # per-window jnp one-hot matmul it replaces
-    if fast and "tails" not in ab:
+    if tiled:
+        if "tails" in ab:
+            step = max(1, tile // V)
+            fake = (
+                jnp.arange(ntiles, dtype=jnp.int32)[:, None] * tile
+                + jnp.arange(V, dtype=jnp.int32)[None, :] * step
+                + (step - 1)
+            )
+            tails_all = jnp.broadcast_to(
+                fake[None], (digits_all.shape[0], ntiles, V)
+            )
+        else:
+            tails_all = _digit_tails_tiled(digits_all, c, n, tile)
+    elif fast and "tails" not in ab:
         tails_all = _digit_tails_all(digits_all, c, n)
     else:
         tails_all = jnp.zeros((digits_all.shape[0], V), jnp.int32)
+
+    def one_window_tiled(carry, scanned):
+        """Tiled grouping: per-tile sorted stream + GLOBAL prefix scan.
+
+        With parts t and G() the global inclusive prefix of the per-tile-
+        sorted stream, the per-tile bucket prefix is
+        T_t[v] = G(p_t(v)) - G(end_{t-1}), and summing the window telescope
+        sum_v v*B_v = (V-1)*T[V-1] - sum_{v<V-1} T[v] over tiles makes every
+        G(end_{t-1}) term cancel: the partials are simply
+
+            t_max = sum_t G(p_t(V-1)),   sum_t = sum_{t, v<V-1} G(p_t(v))
+
+        — same (T_max, sum_T) contract as the global-sort path, so the host
+        fold is unchanged."""
+        d, tails_in = scanned  # [n] digits, [ntiles, V] global tail ranks
+        key = d.astype(jnp.uint32).reshape(ntiles, R, 128)
+        if "sort" in ab:
+            sp = pay_in  # TIMING DIAGNOSTIC ONLY: skip the grouping
+        else:
+            sp = gv._tile_sort_call(ntiles, R, fv._interpret())(key, pay_in)
+        planes = tuple(sp[j].reshape(n) for j in range(16))
+        tails_flat = tails_in.reshape(-1)  # K = ntiles*V
+        K = tails_flat.shape[0]
+        safe_idx = jnp.clip(tails_flat, 0, n - 1)
+        T, flag = _rank_prefix_at_rows(planes, n, safe_idx, safe=safe)
+        none_mask = (tails_flat < 0)[None, :]  # only possible at t == 0
+        T = (
+            jnp.where(none_mask, one[:, None], T[0]),
+            jnp.where(none_mask, one[:, None], T[1]),
+            jnp.where(none_mask, 0, T[2]),
+        )
+        # t_max = sum over tiles of G at each tile's last rank (column V-1)
+        t_max = _tree_reduce(tuple(a[:, V - 1 :: V] for a in T), ntiles)
+        if "reduce" in ab:
+            sum_t = t_max
+        else:
+            # zero out (identity) the V-1 columns, reduce everything else
+            keep = (
+                jnp.arange(K, dtype=jnp.int32) % V != V - 1
+            )[None, :]
+            sum_t = _rank_reduce(tuple(jnp.where(keep, a, 0) for a in T), K)
+        out = jnp.stack(
+            [
+                jnp.concatenate(t_max, 0)[:, 0],
+                jnp.concatenate(sum_t, 0)[:, 0],
+            ],
+            axis=0,
+        )  # [2, 48]
+        return carry, (out, flag)
 
     def one_window(carry, scanned):
         d, tails_in = scanned
@@ -620,7 +787,9 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
         )  # [2, 48]
         return carry, (out, flag)
 
-    _, (outs, flags) = jax.lax.scan(one_window, 0, (digits_all, tails_all))
+    _, (outs, flags) = jax.lax.scan(
+        one_window_tiled if tiled else one_window, 0, (digits_all, tails_all)
+    )
     return outs, flags  # [n_windows, 2, 48], [n_windows]
 
 
@@ -657,7 +826,7 @@ def msm_vec(PX, PY, scalars, c: int | None = None, glv: bool | None = None):
     _guard_ablation()
     n = PX.shape[0]
     if c is None:
-        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+        c = 13 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
     if glv is None:
         glv = n >= (1 << 15)
     V = 1 << c
@@ -723,7 +892,7 @@ def msm_vec_batch_async(PX, PY, raw_list, c: int | None = None,
     _guard_ablation()
     n = PX.shape[0]
     if c is None:
-        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+        c = 13 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
     if glv is None:
         glv = n >= (1 << 15)
     fn = _msm_window_partials_glv if glv else _msm_window_partials

@@ -99,19 +99,34 @@ def ntt_roofline(k: int) -> dict:
     }
 
 
-def msm_roofline(k: int, c: int = 16, glv: bool = True) -> dict:
-    """Analytic cost of a 2^k-point MSM (GLV + packed sort + row-major
-    chained-scan formulation, ec/msm_vec.py)."""
+def msm_roofline(k: int, c: int = 13, glv: bool = True) -> dict:
+    """Analytic cost of a 2^k-point MSM (ec/msm_vec.py).
+
+    c <= 13 models the TILED grouping pipeline (per-tile in-VMEM bitonic
+    sort + per-tile bucket tails): grouping moves the 17 u32 planes through
+    HBM ONCE (in + out) instead of the global XLA sort's ~log2(n) network
+    round trips, at the cost of ntiles*2^c tail extractions per window.
+    c > 13 models the legacy global-sort path."""
     n = 1 << k
     npts = 2 * n if glv else n  # GLV doubles the stream, halves windows
     windows = ((128 if glv else 256) + c - 1) // c
-    # per window: npts doubling-free mixed adds (11 mul/sqr) in the rank
-    # scan + ~2*2^c full adds (16 mul/sqr) for bucket-tail handling/reduce
-    field_muls = windows * (npts * 11 + 2 * (1 << c) * 16)
+    V = 1 << c
+    if c <= 13:
+        tile = min(1 << 18, npts)
+        ntiles = npts // tile
+        K = ntiles * V
+        # per window: npts doubling-free mixed adds (11 mul/sqr) in the
+        # rank scan + ~3*K full adds (16 mul/sqr) for the tail gather padd,
+        # cross-tile/bucket reduction and t_max fold
+        field_muls = windows * (npts * 11 + 3 * K * 16)
+        # tile sort: one read of key+payload, one write of payload
+        sort_bytes = windows * npts * (17 + 16) * 4
+    else:
+        field_muls = windows * (npts * 11 + 2 * V * 16)
+        # global sort: 17 packed u32 operands, ~log2(npts) data passes
+        sort_bytes = windows * npts * 17 * 4 * (k + 1)
     u32_muls = field_muls * 512  # comba 16x16 + redc 16x16 MACs
-    # sort: 17 packed u32 operands, ~log2(npts) data passes (XLA sort);
     # scan: one read of the packed planes + one write of 24 prefix planes
-    sort_bytes = windows * npts * 17 * 4 * (k + 1)
     scan_bytes = windows * npts * (16 + 24) * 4 * 2
     return {
         "field_muls": field_muls,
