@@ -53,13 +53,17 @@ def open_gwc(params, transcript, queries, k: int, omega: int) -> None:
     from ..field import FR, mont
 
     for point, group in _group_queries(queries):
-        # Horner-combine the group's polys: acc = ((p0) v + p1) v + p2 ...
-        acc = group[0][0]
-        for poly, _pt, _ev in group[1:]:
+        # halo2's GWC fold gives query i weight v^i (the LAST query in a
+        # group gets the highest power) — Horner over the reversed group.
+        # Byte-verified against the Rust wasm prover's witness commitments
+        # (round 5: proofs are byte-identical under the mimicked RNG).
+        rgroup = list(reversed(group))
+        acc = rgroup[0][0]
+        for poly, _pt, _ev in rgroup[1:]:
             acc = mont.add(FR, mont.mul(FR, acc, v_m[None, :]), poly)
-        # combined eval (host Horner over ints)
+        # combined eval (host Horner over ints, same weight convention)
         ev = 0
-        for _poly, _pt, e in group:
+        for _poly, _pt, e in rgroup:
             ev = (ev * v + e) % FR_MOD
         # Kate quotient in evaluation form, committed via Lagrange SRS
         values = fft(acc, k, omega)
@@ -85,14 +89,11 @@ def verify_gwc(params, transcript, queries) -> bool:
     u_pow = 1
     rhs_scalar_g = 0  # coefficient of G1 generator (from r_j)
     for (point, group), w in zip(groups, w_commits):
-        # F_j / r_j via Horner with v
+        # F_j / r_j: query i carries weight v^i (matches the prover fold)
         f_terms = []  # list of (commitment, scalar)
         r = 0
-        v_pow_terms = []
-        # Horner: F = ((C0) v + C1) v + C2 ... == sum C_i v^{m-1-i}
-        m = len(group)
         for i, (com, _pt, e) in enumerate(group):
-            coeff = pow(v, m - 1 - i, FR_MOD)
+            coeff = pow(v, i, FR_MOD)
             if isinstance(com, tuple) and com and com[0] == "msm":
                 for pt_i, sc_i in com[1]:
                     f_terms.append((pt_i, sc_i * coeff % FR_MOD))

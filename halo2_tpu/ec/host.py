@@ -229,9 +229,11 @@ def g2_is_on_curve(P) -> bool:
 # ---------------------------------------------------------------------------
 # G1 compressed (32B), halo2curves 9f5c508 (0.3.2) GroupEncoding layout (the
 # layout the reference's proof stream uses, SURVEY.md 7.3 #1): x as LE bytes,
-# top bit (byte 31 bit 7) = y parity; the identity is ALL-ZERO bytes (x = 0,
-# sign 0).  G1 uncompressed (64B): x || y LE.  G2 doubles the widths with
-# each Fq2 coordinate as c0 || c1.
+# sign flag at byte 31 BIT 6 = y parity (Fq is 254-bit so bits 6-7 of the top
+# byte are always free; bit 6 is the convention the Rust proof fixture uses —
+# confirmed byte-level against the wasm prover's output, round 5); the
+# identity is ALL-ZERO bytes (x = 0, sign 0).  G1 uncompressed (64B):
+# x || y LE.  G2 doubles the widths with each Fq2 coordinate as c0 || c1.
 
 
 def g1_to_bytes(P) -> bytes:
@@ -240,14 +242,14 @@ def g1_to_bytes(P) -> bytes:
     x, y = P
     b = bytearray(int(x).to_bytes(32, "little"))
     if y & 1:
-        b[31] |= 0x80
+        b[31] |= 0x40
     return bytes(b)
 
 
 def g1_from_bytes(b: bytes):
     b = bytearray(b)
-    ysign = b[31] >> 7
-    b[31] &= 0x7F
+    ysign = (b[31] >> 6) & 1
+    b[31] &= 0x3F
     x = int.from_bytes(bytes(b), "little")
     if x >= Q:
         raise ValueError("G1 x coordinate out of range")

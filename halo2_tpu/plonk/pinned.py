@@ -15,10 +15,11 @@ embeds the Debug field-name tables of the exact pinned revisions
     fixed_commitments, permutation }
   * PinnedEvaluationDomain { k, extended_k, omega }
   * PinnedConstraintSystem { num_fixed_columns, num_advice_columns,
-    num_instance_columns, num_selectors, num_challenges,
-    advice_column_phase, challenge_phase, gates, advice_queries,
+    num_instance_columns, num_selectors, gates, advice_queries,
     instance_queries, fixed_queries, permutation, lookups, constants,
-    minimum_degree }
+    minimum_degree }  (rev 6b43b6b predates the multi-phase API — no
+    num_challenges / advice_column_phase / challenge_phase fields; verified
+    against the live string captured from wasm memory, scripts/debug_pinned.py)
   * Expression variants: Constant / Selector / Fixed / Advice / Instance /
     Challenge / Negated / Sum / Product / Scaled, with fields query_index,
     column_index, rotation (and phase on Advice)
@@ -29,10 +30,11 @@ embeds the Debug field-name tables of the exact pinned revisions
     field moduli strings 0x30644e..fd47 / 0x30644e..0001 — all present
     verbatim in the artifact's string table.
 
-Known residual uncertainty (documented in PARITY.md): whether first-phase
-advice prints its `phase` field.  The PSE fork's custom Debug impls omit the
-phase when it is FirstPhase ("maintain backwards compatibility"); this module
-follows that (all circuits here are single-phase).
+Resolved (round 5): the previously-documented uncertainty about phase
+fields is settled by capturing the actual formatted string from the wasm's
+linear memory mid-keygen (scripts/debug_pinned.py) — this rev has no phase
+concept anywhere in the pinned output, and Advice queries print exactly
+{ query_index, column_index, rotation }.
 """
 
 from __future__ import annotations
@@ -137,16 +139,17 @@ def pinned_vk_repr(
         for (_name, pairs) in cs.lookups
     )
     constants = ", ".join(_column(c.index, c.kind) for c in cs.constants_columns)
-    phases = ", ".join("Phase(0)" for _ in range(cs.num_advice))
+    # rev 6b43b6b predates the multi-phase/challenge API: PinnedConstraintSystem
+    # has NO num_challenges / advice_column_phase / challenge_phase fields
+    # (ground truth recovered from the running wasm's linear memory —
+    # scripts/debug_pinned.py; the captured string is byte-identical to this
+    # rendering for the arithmetic circuit at k=4).
     cs_str = (
         "PinnedConstraintSystem { "
         f"num_fixed_columns: {cs.num_fixed}, "
         f"num_advice_columns: {cs.num_advice}, "
         f"num_instance_columns: {cs.num_instance}, "
         f"num_selectors: {cs.num_selectors}, "
-        f"num_challenges: 0, "
-        f"advice_column_phase: [{phases}], "
-        f"challenge_phase: [], "
         f"gates: [{gates}], "
         f"advice_queries: {_queries(cs.advice_queries, 'advice')}, "
         f"instance_queries: {_queries(cs.instance_queries, 'instance')}, "

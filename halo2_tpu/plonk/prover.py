@@ -56,6 +56,18 @@ class DeterministicRng:
             out.append(int.from_bytes(h, "little") % FR_MOD)
         return out
 
+    def unused_blind(self, count: int = 1) -> None:
+        """halo2 create_proof draws `Blind(..)` values that KZG commitment
+        ignores.  A no-op here; parity.rustrng.RustStreamRng (which replays
+        the wasm harness's OsRng stream for the byte-identity ground-truth
+        test) consumes the stream at these call sites."""
+
+    def random_poly_coeffs(self, n: int) -> list[int]:
+        """Coefficients for the vanishing argument's random poly (halo2
+        seeds a per-thread ChaCha20Rng here; for the deterministic lane the
+        distinction is irrelevant — any stream works)."""
+        return self.field_elements(n)
+
 
 def _commit_lagrange_async(params, batch):
     """Async batched commit when params supports it (ParamsKZG); sharded /
@@ -81,6 +93,7 @@ def create_proof(
     scheme: str = "gwc",
     rng_seed: bytes | None = None,
     mesh=None,
+    rng=None,
 ) -> bytes:
     """mesh: optional jax.sharding.Mesh — basis conversions run through the
     sharded four-step NTT, commitments through the sharded MSM, and the
@@ -96,7 +109,8 @@ def create_proof(
     k, n = pk.vk.k, 1 << pk.vk.k
     bf = cs.blinding_factors()
     u = pk.vk.usable_row
-    rng = DeterministicRng(rng_seed)
+    if rng is None:
+        rng = DeterministicRng(rng_seed)
     timer = PhaseTimer()
 
     transcript = Blake2bWrite()
@@ -130,6 +144,7 @@ def create_proof(
             vals[row] = blind_rows[bi]
             bi += 1
         advice_cols.append(vals)
+    rng.unused_blind(cs.num_advice)  # halo2: per-column Blind draws
     advice_lagrange = _to_device_columns(advice_cols, n)
     # dispatch the commitment MSMs, queue the basis-conversion NTTs behind
     # them, then resolve: the NTTs run while the host waits on / folds the
@@ -165,6 +180,7 @@ def create_proof(
         s_blind = jnp.asarray(
             ints_to_mont_limbs(rng.field_elements(n - u), FR_MOD)
         )
+        rng.unused_blind(2)  # halo2: permuted input + table Blind draws
         a_dev = jnp.concatenate([ap_u, a_blind], axis=0)
         s_dev = jnp.concatenate([sp_u, s_blind], axis=0)
         lookups_data.append(
@@ -197,6 +213,7 @@ def create_proof(
         blinded = []
         for z in zs:
             rand = ints_to_mont_limbs(rng.field_elements(bf), FR_MOD)
+            rng.unused_blind(1)  # halo2: per-chunk z Blind draw
             z = z.at[n - bf :, :].set(jnp.asarray(rand))
             blinded.append(z)
         zs = blinded
@@ -219,6 +236,7 @@ def create_proof(
         z_blind = jnp.asarray(
             ints_to_mont_limbs(rng.field_elements(n - (u + 1)), FR_MOD)
         )
+        rng.unused_blind(1)  # halo2: lookup product Blind draw
         ld["z_dev"] = jnp.concatenate([z_u, z_blind], axis=0)
     if lookups_data:
         batch = jnp.stack([ld["z_dev"] for ld in lookups_data])
@@ -228,7 +246,8 @@ def create_proof(
     timer.mark("prove.grand_products")
 
     # ---- vanishing: random poly, y, quotient -------------------------------------------
-    random_coeffs = rng.field_elements(n)
+    random_coeffs = rng.random_poly_coeffs(n)
+    rng.unused_blind(1)  # halo2: random-poly Blind draw
     random_poly = jnp.asarray(ints_to_mont_limbs(random_coeffs, FR_MOD))
     transcript.write_point(params.commit_affine(random_poly))
     y = transcript.squeeze_challenge()
@@ -266,6 +285,7 @@ def create_proof(
     qd = cs.degree() - 1
     h_pieces = [h_coeff_full[i * n : (i + 1) * n] for i in range(qd)]
     del h_coeff_full
+    rng.unused_blind(qd)  # halo2: per-piece h Blind draws
     for com in params.commit_affine_batch(jnp.stack(h_pieces)):
         transcript.write_point(com)
 

@@ -130,6 +130,11 @@ class Handler(BaseHTTPRequestHandler):
         if self.path in ("/", "/index.html"):
             self._send(200, PAGE.encode(), "text/html")
             return
+        if self.path == "/api/count":
+            from .. import api
+
+            self._json({"count": api.get_circuit_count()})
+            return
         if self.path.startswith("/svg/"):
             from ..circuits import arithmetic, collatz, poseidon_circuit
             from ..viz import render_layout
