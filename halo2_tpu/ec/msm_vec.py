@@ -39,10 +39,8 @@ SCALAR_BITS = 256
 # Tiled grouping pipeline (c <= 13): elements per in-VMEM sort tile.  2^18
 # elements x 17 u32 planes = 17.3 MB — the whole tile sorts inside VMEM
 # (v5e: 128 MB), so grouping costs one HBM read + write instead of the
-# global sort's log2(n) round trips.  TILE_MIN gates the path to sizes the
-# histogram chunking divides.
+# global sort's log2(n) round trips.
 TILE_SORT = 1 << 18
-TILE_MIN = 1 << 15
 
 
 def _digits(scalars, c: int, bits: int = SCALAR_BITS):
@@ -286,63 +284,13 @@ def _digit_tails(d, c: int, n: int):
 HIST_CHUNK = 8192  # digits per histogram grid step (one-hots stay ~4 MB VMEM)
 
 
-@functools.lru_cache(maxsize=None)
-def _hist_kernel_call(n_windows: int, nchunks: int, m: int, interpret: bool):
-    """Fused digit histogram: [n_windows, nchunks, m] int32 digits ->
-    [n_windows, 256, 256] int32 counts (hist[w, hi, lo] = #{d == hi*256+lo}).
-
-    One-hot operands are built IN VMEM and contracted on the MXU (bf16 with
-    f32 accumulation — exact: products are 0/1 and per-chunk counts are
-    < 2^24), so the only HBM traffic is the digit read.  Replaces the jnp
-    one-hot matmul (_digit_tails), which materialized ~1 GB of one-hot
-    operands per window through HBM — measured 10.6 ms/window at n=2^21 vs
-    ~1.3 ms for this kernel."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    # input layout (nchunks, n_windows, m): the block covers the last two
-    # dims whole (TPU tiling rule), and the one-hots are built LANE-MAJOR
-    # ([256, m], digits broadcast along sublanes) so no in-kernel relayout
-    def kernel(d_ref, o_ref, acc):
-        ci = pl.program_id(0)
-
-        @pl.when(ci == 0)
-        def _():
-            acc[...] = jnp.zeros_like(acc)
-
-        ar = jax.lax.broadcasted_iota(jnp.int32, (256, m), 0)
-        for w in range(n_windows):
-            d = d_ref[0, w, :][None, :]  # (1, m) int32 digits
-            oh = (jax.lax.div(d, 256) == ar).astype(jnp.bfloat16)
-            ol = ((d & 255) == ar).astype(jnp.bfloat16)
-            acc[w] += jax.lax.dot_general(
-                oh, ol, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        @pl.when(ci == nchunks - 1)
-        def _():
-            o_ref[...] = acc[...].astype(jnp.int32)
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_windows, 256, 256), jnp.int32),
-        grid=(nchunks,),
-        in_specs=[
-            pl.BlockSpec((1, n_windows, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((n_windows, 256, 256), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_windows, 256, 256), jnp.float32)],
-        interpret=interpret,
-    )
-
-
 def _digit_tails_all(digits_all, c: int, n: int):
     """tails[w, v] = (count of window-w digits <= v) - 1 for ALL windows in
     one fused histogram kernel + a cumsum.  digits_all: [n_windows, n] int32
-    (values < 2^c <= 2^16).  Returns int32 [n_windows, 2^c]."""
+    (values < 2^c <= 2^16).  Returns int32 [n_windows, 2^c].
+
+    (The single-tile special case of the tiled histogram: tile_chunks ==
+    nchunks gives ntiles == 1.)"""
     n_windows = digits_all.shape[0]
     m = min(HIST_CHUNK, n)
     assert n % m == 0
@@ -352,7 +300,9 @@ def _digit_tails_all(digits_all, c: int, n: int):
     d_in = jnp.transpose(
         digits_all.reshape(n_windows, nchunks, m), (1, 0, 2)
     )
-    hist = _hist_kernel_call(n_windows, nchunks, m, fv._interpret())(d_in)
+    hist = _hist_tiled_call(n_windows, nchunks, m, nchunks, fv._interpret())(
+        d_in
+    )[0]
     tails = jnp.cumsum(hist.reshape(n_windows, 65536), axis=1) - 1
     return tails[:, : (1 << c)]
 
@@ -362,8 +312,15 @@ def _hist_tiled_call(n_windows: int, nchunks: int, m: int, tile_chunks: int,
                      interpret: bool):
     """Per-TILE digit histograms: [nchunks, n_windows, m] int32 digits ->
     [ntiles, n_windows, 256, 256] int32 counts, where tile t covers chunks
-    [t*tile_chunks, (t+1)*tile_chunks).  Same MXU one-hot contraction as
-    _hist_kernel_call; the accumulator resets at each tile boundary."""
+    [t*tile_chunks, (t+1)*tile_chunks).
+
+    One-hot operands are built IN VMEM (lane-major [256, m], digits
+    broadcast along sublanes — no in-kernel relayout) and contracted on the
+    MXU (bf16 with f32 accumulation — exact: products are 0/1 and per-chunk
+    counts are < 2^24), so the only HBM traffic is the digit read.  The
+    accumulator resets at each tile boundary.  Replaces the jnp one-hot
+    matmul (_digit_tails), which materialized ~1 GB of one-hot operands per
+    window through HBM — measured 10.6 ms/window at n=2^21 vs ~1.3 ms."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -624,7 +581,9 @@ def _msm_window_partials(PX, PY, scalars, c: int, bits: int = SCALAR_BITS,
     # global 17-operand XLA payload sort — measured ~60% of the whole MSM
     # at 2^20 — is never needed.  c == 16 keeps the legacy global-sort path
     # (explicit-c callers: dist/msm.py shards, profiling scripts).
-    tiled = fast and c <= 13 and n >= TILE_MIN
+    # (`fast` already implies n >= SCAN_CHUNK*1024 = 2^15, which the
+    # histogram chunking divides — no separate size gate needed)
+    tiled = fast and c <= 13
     # the point limbs ride the sort as PACKED payload operands (2 limbs per
     # u32 plane, 17 sort operands total): measured cheaper than sorting
     # (key, iota) and row-gathering the points afterwards (XLA's row gather
