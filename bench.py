@@ -210,9 +210,11 @@ def bench_msm(k: int) -> float:
     PX, PY = _msm_points(k)
     log(f"msm 2^{k}: points ready {time.perf_counter()-t0:.2f}s")
 
-    # c=13 selects the tiled grouping pipeline (per-tile in-VMEM bitonic
-    # sort, ec/g1_vec._tile_sort_call) — the production default
-    c = int(os.environ.get("BENCH_MSM_C", "0")) or (13 if n >= (1 << 16) else 8)
+    # c=16 = the global-sort pipeline, the production default since round 5:
+    # within noise of the tiled c=13 path's speed, ~4x cheaper cold trace —
+    # the tiled path never produced a driver-captured number (BENCH_r04
+    # rc=124; its trace alone was ~15 min on this host)
+    c = int(os.environ.get("BENCH_MSM_C", "0")) or (16 if n >= (1 << 16) else 8)
     glv = os.environ.get("BENCH_MSM_GLV", "1") != "0"
     partials = _msm_window_partials_glv if glv else _msm_window_partials
     scalars = _rand_limbs_device(2, n)
@@ -278,21 +280,29 @@ def main():
     enable_compilation_cache()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     log(f"budget: {BUDGET_S:.0f}s")
-    ops = os.environ.get("BENCH_OPS", "ntt,msm").split(",")
-    if "ntt" in ops:
-        try:
-            _detail["ntt_ms"] = round(bench_ntt(K_NTT), 2)
-        except Exception as e:  # a failed stage must not lose the others
-            log(f"ntt stage failed: {e!r}")
-        emit()
-    if "msm" in ops and remaining_s() > 60:
-        try:
-            _detail["msm_ms"] = round(bench_msm(K_MSM), 2)
-        except Exception as e:
-            log(f"msm stage failed: {e!r}")
-        emit()
-    elif "msm" in ops:
-        log("budget exhausted before msm stage")
+    # MSM runs FIRST (round-4 verdict: three rounds of budget exhaustion in
+    # a row left msm_ms uncaptured; NTT's kernels compile in ~90 s warm or
+    # cold, MSM's are the expensive ones — give them the fresh budget)
+    ops = os.environ.get("BENCH_OPS", "msm,ntt").split(",")
+    for op in ops:
+        if op == "msm":
+            if remaining_s() > 60:
+                try:
+                    _detail["msm_ms"] = round(bench_msm(K_MSM), 2)
+                except Exception as e:  # a failed stage must not lose others
+                    log(f"msm stage failed: {e!r}")
+                emit()
+            else:
+                log("budget exhausted before msm stage")
+        elif op == "ntt":
+            if remaining_s() > 60:
+                try:
+                    _detail["ntt_ms"] = round(bench_ntt(K_NTT), 2)
+                except Exception as e:
+                    log(f"ntt stage failed: {e!r}")
+                emit()
+            else:
+                log("budget exhausted before ntt stage")
     if os.environ.get("BENCH_PROVE") and remaining_s() > 120:
         _detail["prove"] = bench_prove()
         emit()

@@ -97,9 +97,11 @@ def open_shplonk(params, transcript, queries, k: int, omega: int) -> None:
     H = None
     f_data = []  # (f_vals_dev, r_coeffs, pset)
     for j, (pset, polys) in enumerate(sets):
-        # f_j = Horner_y over polys (list order), in eval form
+        # f_j = sum_i y^i P_i: halo2 zips commitments with powers(y), so the
+        # FIRST poly in a set carries y^0 — Horner over the reversed list
+        # (same weight convention as the round-5 GWC v fix)
         acc = None
-        for (poly, _evals) in polys:
+        for (poly, _evals) in reversed(polys):
             vals = fft(poly, k, omega)
             acc = vals if acc is None else mont.add(
                 FR, mont.mul(FR, acc, y_m[None, :]), vals
@@ -108,7 +110,7 @@ def open_shplonk(params, transcript, queries, k: int, omega: int) -> None:
         r_pts = []
         for z in pset:
             e = 0
-            for (_poly, evals) in polys:
+            for (_poly, evals) in reversed(polys):
                 e = (e * y + evals[z]) % FR_MOD
             r_pts.append((z, e))
         r_coeffs = _interp_coeffs(r_pts)
@@ -185,11 +187,11 @@ def verify_shplonk(params, transcript, queries) -> bool:
             if z not in pset:
                 z_rest = z_rest * (u - z) % FR_MOD
         scale = pow(v, j, FR_MOD) * z_rest % FR_MOD
-        # [f_j] Horner with y; r_j(u) from interpolated combined evals
-        m = len(polys)
+        # [f_j] = sum_i y^i C_i (poly i carries y^i, matching the prover);
+        # r_j(u) from the y-combined interpolated evals
         r_pts = {z: 0 for z in pset}
         for i, (com, evals) in enumerate(polys):
-            coeff = pow(y, m - 1 - i, FR_MOD) * scale % FR_MOD
+            coeff = pow(y, i, FR_MOD) * scale % FR_MOD
             if isinstance(com, tuple) and com and com[0] == "msm":
                 for pt_i, sc_i in com[1]:
                     terms.append((pt_i, sc_i * coeff % FR_MOD))
@@ -197,7 +199,7 @@ def verify_shplonk(params, transcript, queries) -> bool:
                 terms.append((com, coeff))
         for z in pset:
             e = 0
-            for (_com, evals) in polys:
+            for (_com, evals) in reversed(polys):
                 e = (e * y + evals[z]) % FR_MOD
             r_pts[z] = e
         r_coeffs = _interp_coeffs(list(r_pts.items()))

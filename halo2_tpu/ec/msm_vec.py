@@ -512,17 +512,21 @@ def _rank_prefix_at(xcols, ycols, n: int, idx, nodbl: bool = False):
 
 
 def _rank_reduce(P, m: int):
-    """Sum of m points (flat [16, m]): one butterfly-reduce kernel for
-    m <= 64K (e.g. the per-window 2^c bucket sum), rank-major chain scans
-    above that; returns coords [16, 1]."""
+    """Sum of m points (flat [16, m]): rank-major chain scans for large m,
+    the padded vpadd tree below; returns coords [16, 1].
+
+    Deliberately avoids the monolithic butterfly-reduce kernels
+    (gv.block_reduce): their ~14 inlined Jacobian adds cost ~530 s of
+    trace+lowering on the 1-core driver host (round-5 probe), vs ~1 padd
+    for the fori_loop rank-scan kernel and ONE shared vpadd lowering for
+    the whole tree (every _vpadd_flat level <= GROUP pads to the same
+    [16, 8, 128] kernel shape, so the lowering is lru-shared)."""
     if fv._interpret():
         return _tree_reduce(P, m)
-    if m <= gv.BLOCK_REDUCE_MAX and len(P) == 3:
-        return gv.block_reduce(P, m)
     CHUNK = gv.SCAN_CHUNK
     chains = m // CHUNK
-    blk = min(gv.RANK_BLK, chains)
-    if m % CHUNK or chains % blk or chains % 128:
+    blk = min(gv.RANK_BLK, chains) if chains else 0
+    if m % CHUNK or not blk or chains % blk or chains % 128:
         return _tree_reduce(P, m)
     ins = [P[ci][i].reshape(chains, CHUNK) for ci in range(3) for i in range(16)]
     pref = gv._rank_scan_call(CHUNK, chains, mixed=False, blk=blk)(*ins)
@@ -785,7 +789,13 @@ def msm_vec(PX, PY, scalars, c: int | None = None, glv: bool | None = None):
     _guard_ablation()
     n = PX.shape[0]
     if c is None:
-        c = 13 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+        # default to the GLOBAL-sort pipeline (c=16): measured 341.7 ms at
+        # 2^20 GLV — within noise of the tiled c=13 path's 338 ms — while
+        # its traced program lowers in ~1/4 the time (the tiled path's
+        # cold trace+compile exceeded every driver budget on the 1-core
+        # host, round-4 verdict; trace cost recurs EVERY fresh process,
+        # warm compile caches notwithstanding)
+        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
     if glv is None:
         glv = n >= (1 << 15)
     V = 1 << c
@@ -851,7 +861,13 @@ def msm_vec_batch_async(PX, PY, raw_list, c: int | None = None,
     _guard_ablation()
     n = PX.shape[0]
     if c is None:
-        c = 13 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
+        # default to the GLOBAL-sort pipeline (c=16): measured 341.7 ms at
+        # 2^20 GLV — within noise of the tiled c=13 path's 338 ms — while
+        # its traced program lowers in ~1/4 the time (the tiled path's
+        # cold trace+compile exceeded every driver budget on the 1-core
+        # host, round-4 verdict; trace cost recurs EVERY fresh process,
+        # warm compile caches notwithstanding)
+        c = 16 if n >= (1 << 16) else (8 if n >= (1 << 7) else 4)
     if glv is None:
         glv = n >= (1 << 15)
     fn = _msm_window_partials_glv if glv else _msm_window_partials

@@ -113,14 +113,6 @@ def _lagrange_delta(n: int, row: int) -> list:
     return v
 
 
-def _commit_columns(params: ParamsKZG, values_dev) -> list:
-    """Commit each row of a [m, n, 16] Lagrange array; returns host points."""
-    return [
-        (params.commit_lagrange_affine(values_dev[i]))
-        for i in range(values_dev.shape[0])
-    ]
-
-
 def _hash_vk(k: int, cs: ConstraintSystem, dom: Domain,
              fixed_commitments, perm_commitments) -> int:
     """halo2's transcript_repr: Blake2b-512(person=b"Halo2-Verify-Key") over
@@ -141,12 +133,16 @@ def _hash_vk(k: int, cs: ConstraintSystem, dom: Domain,
 def keygen(params: ParamsKZG, circuit) -> ProvingKey:
     """circuit: a witness-free circuit instance (like the reference's
     empty_circuit); params fixes k."""
+    from ..utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     k = params.k
     n = 1 << k
     cs = ConstraintSystem()
     config = type(circuit).configure(cs)
 
     asg = synthesize(circuit, cs, config, k, instances=None)
+    timer.mark("keygen.synthesize")
     # halo2 keygen_vk: pack selector activations into fixed columns and
     # substitute their gate occurrences, THEN fix the quotient degree
     selector_polys = cs.compress_selectors(asg.selectors)
@@ -167,8 +163,10 @@ def keygen(params: ParamsKZG, circuit) -> ProvingKey:
         if fixed_cols
         else np.zeros((0, n, 16), np.uint32)
     )
+    timer.mark("keygen.fixed_upload")
     fixed_coeff = dom.lagrange_to_coeff(fixed_lagrange)
     fixed_ext = dom.coeff_to_extended(fixed_coeff)
+    timer.mark("keygen.fixed_ntt")
 
     # ---- permutation sigmas -------------------------------------------------------
     perm_cols = cs.permutation_columns
@@ -177,13 +175,16 @@ def keygen(params: ParamsKZG, circuit) -> ProvingKey:
     for (ca, ra), (cb, rb) in asg.copies:
         assembly.add_copy(pos[ca], ra, pos[cb], rb)
     sig_vals = assembly.sigma_values()
+    timer.mark("keygen.sigma_assembly")
     sigma_lagrange = jnp.asarray(
         np.stack([ints_to_mont_limbs(col, FR_MOD) for col in sig_vals])
         if sig_vals
         else np.zeros((0, n, 16), np.uint32)
     )
+    timer.mark("keygen.sigma_upload")
     sigma_coeff = dom.lagrange_to_coeff(sigma_lagrange)
     sigma_ext = dom.coeff_to_extended(sigma_coeff)
+    timer.mark("keygen.sigma_ntt")
 
     # ---- lagrange selector polys for the permutation argument ---------------------
     l0 = jnp.asarray(ints_to_mont_limbs(_lagrange_delta(n, 0), FR_MOD))
@@ -195,10 +196,25 @@ def keygen(params: ParamsKZG, circuit) -> ProvingKey:
     l0_ext = dom.coeff_to_extended(dom.lagrange_to_coeff(l0))
     l_last_ext = dom.coeff_to_extended(dom.lagrange_to_coeff(l_last))
     l_active_ext = dom.coeff_to_extended(dom.lagrange_to_coeff(l_active))
+    timer.mark("keygen.lagrange_selectors")
 
     # ---- commitments + vk ------------------------------------------------------------
-    fixed_commitments = _commit_columns(params, fixed_lagrange)
-    perm_commitments = _commit_columns(params, sigma_lagrange)
+    # one batched async dispatch for ALL fixed + sigma commitments (the
+    # round-4 k=20 keygen spent most of its 1742 s in per-column
+    # dispatch+readback round trips here)
+    n_fixed = int(fixed_lagrange.shape[0])
+    if n_fixed + int(sigma_lagrange.shape[0]) > 0:
+        batch = jnp.concatenate([fixed_lagrange, sigma_lagrange], axis=0)
+        resolve = getattr(params, "commit_lagrange_affine_batch_async", None)
+        if resolve is not None:
+            commits = resolve(batch)()
+        else:
+            commits = params.commit_lagrange_affine_batch(batch)
+        fixed_commitments = list(commits[:n_fixed])
+        perm_commitments = list(commits[n_fixed:])
+    else:
+        fixed_commitments, perm_commitments = [], []
+    timer.mark("keygen.commitments")
     vk = VerifyingKey(
         k=k,
         cs=cs,

@@ -24,7 +24,11 @@ px, py = d["px"], d["py"]
 n = 1 << 16
 PX = device_put_chunked(px[:n]); PY = device_put_chunked(py[:n]); fence(PY)
 rng = np.random.default_rng(77)
-ss = [int(x) % FR_MOD for x in rng.integers(0, 1 << 63, n)]
+# full-range Fr scalars so the GLV k2 half and all windows are exercised
+ss = [
+    (int(a) | int(b) << 64 | int(c) << 128 | int(d) << 192) % FR_MOD
+    for a, b, c, d in zip(*(rng.integers(0, 1 << 63, n) for _ in range(4)))
+]
 S = jnp.asarray(ints_to_limbs(ss))
 t0 = time.perf_counter()
 got = mv.msm_vec(PX, PY, S)

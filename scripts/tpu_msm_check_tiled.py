@@ -36,7 +36,14 @@ if os.environ.get("TILED_CORRECTNESS", "1") != "0":
     PX = tile(device_put_chunked(px)); PY = tile(device_put_chunked(py))
     fence(PY)
     rng = np.random.default_rng(123)
-    ss = [int(x) % FR_MOD for x in rng.integers(0, 1 << 62, n)]
+    # FULL-range Fr scalars (advisor r04): < 2^62 scalars make the GLV k2
+    # half identically zero, leaving phi(P) lanes and the upper windows
+    # unexercised — assemble 256-bit values from four 64-bit draws
+    ss = [
+        int(a) | int(b) << 64 | int(c) << 128 | int(d) << 192
+        for a, b, c, d in zip(*(rng.integers(0, 1 << 63, n) for _ in range(4)))
+    ]
+    ss = [s % FR_MOD for s in ss]
     S = jnp.asarray(ints_to_limbs(ss))
     t0 = time.perf_counter()
     got = mv.msm_vec(PX, PY, S)  # default c=13 -> tiled, glv
