@@ -117,14 +117,19 @@ class Pow5Chip:
 
         def pad_and_add(q):
             sel = q.query_selector(s_pad_and_add)
+            # query registration order mirrors pow5.rs:108-116: state[RATE]
+            # at prev/next FIRST, then the rate columns — the resulting
+            # advice_queries numbering is part of the pinned vk (round 5:
+            # captured from the wasm's linear memory, the only divergence
+            # in the whole 19936-char poseidon pinned string)
+            init_rate = q.query_advice(state[spec.rate], -1)
+            out_rate = q.query_advice(state[spec.rate], 1)
             polys = []
             for idx in range(spec.rate):
                 initial = q.query_advice(state[idx], -1)
                 inp = q.query_advice(state[idx], 0)
                 output = q.query_advice(state[idx], 1)
                 polys.append(sel * (initial + inp - output))
-            init_rate = q.query_advice(state[spec.rate], -1)
-            out_rate = q.query_advice(state[spec.rate], 1)
             polys.append(sel * (init_rate - out_rate))
             return polys
 
