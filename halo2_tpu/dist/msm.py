@@ -86,12 +86,19 @@ def msm_sharded(PX, PY, scalars, mesh, c: int | None = None):
     return _msm_sharded_jit(PX, PY, scalars, c, mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("c", "mesh", "safe"))
-def _msm_partials_sharded_jit(PX, PY, scalars, c: int, mesh, safe: bool = False):
-    from ..ec.msm_vec import _msm_window_partials
+@functools.partial(jax.jit, static_argnames=("c", "mesh", "safe", "glv"))
+def _msm_partials_sharded_jit(PX, PY, scalars, c: int, mesh,
+                              safe: bool = False, glv: bool = False):
+    from ..ec.msm_vec import _msm_window_partials, _msm_window_partials_glv
 
     def local(px, py, s):
-        parts, flags = _msm_window_partials(px, py, s, c, safe=safe)
+        if glv:
+            # production single-chip pipeline per shard (half the windows
+            # for the same sort+scan volume) — the per-window partials stay
+            # additive across shards, so the collective is unchanged
+            parts, flags = _msm_window_partials_glv(px, py, s, c, safe=safe)
+        else:
+            parts, flags = _msm_window_partials(px, py, s, c, safe=safe)
         return (
             jax.lax.all_gather(parts, SHARD_AXIS),  # [d, n_windows, 2, 48]
             jax.lax.psum(jnp.max(flags), SHARD_AXIS),
@@ -107,7 +114,8 @@ def _msm_partials_sharded_jit(PX, PY, scalars, c: int, mesh, safe: bool = False)
     return fn(PX, PY, scalars)
 
 
-def msm_sharded_vec(PX, PY, scalars, mesh, c: int | None = None):
+def msm_sharded_vec(PX, PY, scalars, mesh, c: int | None = None,
+                    glv: bool | None = None):
     """MSM over sharded device arrays through the production window-partials
     pipeline; returns a host affine point (or None).
 
@@ -128,13 +136,20 @@ def msm_sharded_vec(PX, PY, scalars, mesh, c: int | None = None):
     local_n = n // d
     if c is None:
         c = 16 if local_n >= (1 << 16) else (8 if local_n >= (1 << 7) else 4)
+    if glv is None:
+        # mirror ec.msm_vec.msm_vec's gate: GLV pays once the shard is big
+        # enough for the split kernel (and never in interpret/CPU-dryrun)
+        from ..field import vec as fv
+
+        glv = local_n >= (1 << 15) and not fv._interpret()
     V = 1 << c
-    parts, flag = _msm_partials_sharded_jit(PX, PY, scalars, c, mesh)
+    parts, flag = _msm_partials_sharded_jit(PX, PY, scalars, c, mesh, glv=glv)
     parts = np.asarray(parts)
     if int(np.asarray(flag)):
         # doubling-free scan hit an acc == q collision; safe re-run
         parts = np.asarray(
-            _msm_partials_sharded_jit(PX, PY, scalars, c, mesh, safe=True)[0]
+            _msm_partials_sharded_jit(PX, PY, scalars, c, mesh, safe=True,
+                                      glv=glv)[0]
         )
 
     def to_host(coords):

@@ -55,8 +55,9 @@ def main():
     pk = keygen(params, rangecheck.empty_circuit(bits=bits, count=count))
     keygen_s = time.perf_counter() - t0
     log(f"keygen: {keygen_s:.1f}s")
+    log(format_phase_report())  # keygen-internal breakdown (round-4 ask)
 
-    phase_report(clear=True)  # drop keygen-internal marks
+    phase_report(clear=True)  # reset so the prove report is prove-only
     circuit = rangecheck.create_circuit(values, bits=bits)
     t0 = time.perf_counter()
     proof = create_proof(params, pk, circuit, [], scheme="shplonk",
